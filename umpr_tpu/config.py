@@ -1,0 +1,114 @@
+"""Config / flag system.
+
+Reproduces the reference's reflection-argparse surface (reference:
+config.py:7-64): every public class attribute is a hyperparameter default and
+automatically becomes a ``--<name>`` CLI flag.  ``bool``/``int``/``float``/
+``list``-typed attributes are parsed with ``ast.literal_eval`` so that e.g.
+``--views "['food','inside','outside','drink']"`` and ``--multi_gpu False``
+work exactly as in the reference (rationale documented in the reference's
+readme.md:167-173: plain ``type=bool`` would treat any non-empty string as
+True).
+
+TPU-specific additions are grouped at the bottom of the attribute list; they
+only *add* flags and never change the meaning of a reference flag.
+"""
+
+from __future__ import annotations
+
+import ast
+import argparse
+
+
+class Config:
+    # ----- training schedule (reference: config.py:8-15) -----
+    device = "tpu"  # JAX platform to run on: "tpu" | "cpu". Replaces torch.device("cuda:0").
+    multi_gpu = True  # Use every visible device (data parallel over the mesh). Reference: DataParallel toggle.
+    train_epochs = 20
+    batch_size = 64  # Global batch size (split across devices when multi_gpu).
+    learning_rate = 1e-6
+    l2_regularization = 1e-3  # torch-style Adam L2 (added to the gradient), not AdamW.
+    lr_decay = 0.99  # Exponential decay applied once per epoch.
+
+    # ----- paths (reference: config.py:17-20) -----
+    word2vec_file = "embedding/glove.6B.50d.txt"
+    data_dir = "data/music"
+    log_path = ""
+    model_path = ""
+
+    # ----- mode switches (reference: config.py:22-23) -----
+    test_only = False  # If true, model_path must point at a saved checkpoint.
+    review_net_only = False  # If true, only the review network runs (UMPR-R).
+
+    # ----- dataset shaping (reference: config.py:25-32) -----
+    review_level = "sentence"  # 'sentence' or 'review'
+    max_sent_count = 20  # max sentences per user/item history
+    min_sent_count = 5
+    max_ui_sent_count = 5  # max sentences in the u->i target review
+    max_sent_length = 20  # max tokens per sentence
+    views = ["unknown"]  # amazon: ['unknown'];  yelp: ['food','inside','outside','drink']
+    photo_count = 1  # photos per view
+
+    # ----- model sizes (reference: config.py:34-39) -----
+    gru_size = 64  # R-Net GRU hidden size (u in the paper)
+    self_atte_size = 64  # S-Net attention size (u_s in the paper)
+    kernel_count = 120  # C-Net CNN filters
+    kernel_size = 3  # C-Net CNN kernel width
+    threshold = 0.35  # C-Net view-probability threshold (eq. 15)
+    loss_v_rate = 0.1  # weight of the auxiliary visual loss
+
+    # ----- TPU-native additions (new; no reference counterpart) -----
+    seed = 0  # PRNG seed for parameter init and batch shuffling.
+    compute_dtype = "float32"  # 'float32' | 'bfloat16' matmul/activation dtype.
+    eval_every = 500  # validation cadence in batches (reference hard-codes 500, main.py:43).
+    max_batches = 50000  # hard stop on total batches (reference hard-codes 50000, main.py:56).
+    prefetch_depth = 2  # host pipeline look-ahead batches (device double buffering).
+    data_workers = 0  # image-decode worker threads (0 = synchronous).
+    use_pallas = True  # use the fused Pallas GRU kernel on TPU (False = pure lax.scan).
+    mesh_shape = []  # explicit device mesh, e.g. [8] for 8-way DP; [] = all devices on one axis.
+    resume_path = ""  # optional checkpoint dir to resume training from (params + opt state).
+    profile_dir = ""  # if set, write a jax.profiler trace of a few steps here.
+    cache_dataset = True  # cache the packed dataset arrays next to the CSVs (reference: main.py:66-73).
+
+    def __init__(self, argv=None):
+        parser = argparse.ArgumentParser()
+        for key, val in self._attributes():
+            receive_type = type(val)
+            if receive_type in (bool, int, float, list):
+                # ast.literal_eval turns the CLI string into a real python
+                # value; this is what makes `--multi_gpu False` and
+                # `--views "['food']"` behave correctly.
+                receive_type = ast.literal_eval
+            parser.add_argument("--" + key, dest=key, type=receive_type, default=val)
+        for key, val in vars(parser.parse_args(argv)).items():
+            setattr(self, key, val)
+
+        if self.test_only:
+            assert self.model_path != "", "You must give model_path on testing!"
+        assert self.review_level in ("sentence", "review"), (
+            '"review_level" must be equal to "sentence" or "review"!'
+        )
+        assert self.compute_dtype in ("float32", "bfloat16")
+
+    @classmethod
+    def _attributes(cls):
+        items = []
+        for klass in reversed(cls.__mro__):
+            for key, val in vars(klass).items():
+                if key.startswith("_") or callable(val) or isinstance(val, (classmethod, staticmethod, property)):
+                    continue
+                items.append((key, val))
+        # Keep deterministic, alphabetical order like inspect.getmembers does.
+        seen = {}
+        for key, val in items:
+            seen[key] = val
+        return sorted(seen.items())
+
+    @property
+    def view_size(self) -> int:
+        return len(self.views)
+
+    def __str__(self):
+        out = []
+        for key, _ in self._attributes():
+            out.append("{} = {}\n".format(key, getattr(self, key)))
+        return "".join(out)

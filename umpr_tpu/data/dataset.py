@@ -1,0 +1,224 @@
+"""Dataset construction: CSV -> filtered samples -> static-shape arrays.
+
+Sample *selection* must match the reference exactly, because it changes the
+effective train/valid/test sets and therefore MSE.  The reference applies an
+order-dependent sequence of filters over a shared ``retain_idx`` list
+(src/dataset.py:11-119); this module reproduces that sequence:
+
+1. tokenize the review column; drop sentences with <=5 tokens
+   (dataset.py:21-27); mark samples with zero surviving sentences
+   (dataset.py:29);
+2. resolve per-view photo paths, dropping any sample whose item lacks at
+   least one photo in any configured view (dataset.py:87-119);
+3. build user histories (all sentences by the user EXCLUDING the target
+   item), dropping samples with < min_sent_count history sentences and
+   keeping the *longest* max_sent_count sentences otherwise
+   (dataset.py:50-73);
+4. the same for item histories (dataset.py:33);
+5. truncate the u->i review to the longest max_ui_sent_count sentences
+   (dataset.py:75-85).
+
+Steps run in exactly this order; a sample dropped by an earlier step is
+skipped (not re-examined) by later ones, as in the reference.
+
+The TPU-first departure is in *representation*: instead of ragged python
+lists collated per batch (reference: dataset.py:146-182), everything is
+packed once into dense, statically shaped numpy arrays -- tokens
+``(N, S, L)``, lengths ``(N, S)``, sentence counts ``(N,)`` -- so a batch is
+a contiguous slice and every training step hits one compiled executable.
+Per-batch dynamic-padding numerics are recovered at run time from the
+lengths/counts via "exists" masks (see umpr_tpu/ops/masking.py).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+
+@dataclass
+class UMPRDataset:
+    """Packed dataset. All arrays are static-shape numpy."""
+
+    u_tokens: np.ndarray   # (N, S, L) int32 word ids of user-history sentences
+    u_lengths: np.ndarray  # (N, S) int32 token counts, pad sentences -> 1
+    u_counts: np.ndarray   # (N,) int32 real sentence count per sample
+    i_tokens: np.ndarray   # (N, S, L)
+    i_lengths: np.ndarray  # (N, S)
+    i_counts: np.ndarray   # (N,)
+    ui_tokens: np.ndarray  # (N, S_ui, L)
+    ui_lengths: np.ndarray # (N, S_ui)
+    ui_counts: np.ndarray  # (N,)
+    ratings: np.ndarray    # (N,) float32
+    photo_paths: np.ndarray  # (N, V, P) unicode paths; '' means "no file, use zeros"
+
+    def __len__(self):
+        return self.u_tokens.shape[0]
+
+    def save(self, path):
+        np.savez_compressed(path, **{k: getattr(self, k) for k in self.__dataclass_fields__})
+
+    @classmethod
+    def load(cls, path):
+        with np.load(path, allow_pickle=False) as z:
+            return cls(**{k: z[k] for k in cls.__dataclass_fields__})
+
+
+def _tokenize_reviews(df, word2vec, config):
+    """Reference dataset.py:21-27: split into sentences, id-map, truncate to
+    max_sent_length, drop sentences with <=5 tokens."""
+    max_len = config.max_sent_length
+    sentence_level = config.review_level == "sentence"
+
+    def tok(x):
+        text = str(x)
+        parts = text.strip(". ").split(".") if sentence_level else [text]
+        out = []
+        for sent in parts:
+            ids = word2vec.sent2indices(sent)[:max_len]
+            if len(ids) > 5:
+                out.append(ids)
+        return out
+
+    return [tok(x) for x in df["review"]]
+
+
+def _resolve_photos(photo_json, photo_dir, item_ids, retain, views, photo_count):
+    """Reference dataset.py:87-119. Mutates `retain` in place."""
+    photo_df = pd.read_json(photo_json, orient="records", lines=True)
+    if "label" not in photo_df.columns:
+        photo_df["label"] = views[0]  # amazon manifests carry no label
+
+    groups = defaultdict(dict)
+    view_set = set(views)
+    for bid, pid, label in zip(photo_df["business_id"], photo_df["photo_id"], photo_df["label"]):
+        if label in view_set:
+            groups[bid].setdefault(label, []).append(pid)
+
+    paths = []
+    for idx, bid in enumerate(item_ids):
+        if not retain[idx]:
+            paths.append(None)
+            continue
+        item_photos = []
+        for label in views:
+            pids = groups[bid].get(label, [])
+            if len(pids) < 1:  # no photo for this view -> drop the sample
+                retain[idx] = False
+                item_photos = None
+                break
+            sel = [os.path.join(photo_dir, pids[j] + ".jpg") for j in range(min(len(pids), photo_count))]
+            # Reference pads missing slots with the sentinel path 'unknown',
+            # which cv2 fails to read and yields a zero image
+            # (dataset.py:115-116, 142-143). '' is our zero-image sentinel.
+            sel.extend([""] * (photo_count - len(sel)))
+            item_photos.append(sel)
+        paths.append(item_photos)
+    return paths
+
+
+def _build_histories(df, reviews, retain, lead, costar, min_count, max_count):
+    """Reference dataset.py:50-73. Mutates `retain` in place.
+
+    Histories are grouped over ALL rows (including already-dropped ones):
+    sentences from dropped samples still count toward other samples'
+    histories, exactly as in the reference (groups built before filtering).
+    """
+    groups = defaultdict(list)
+    for lead_id, costar_id, review in zip(df[lead], df[costar], reviews):
+        groups[lead_id].append((costar_id, review))
+
+    results = []
+    for i, (lead_id, costar_id) in enumerate(zip(df[lead], df[costar])):
+        if not retain[i]:
+            results.append(None)
+            continue
+        sentences = [s for cid, r in groups[lead_id] if cid != costar_id for s in r]
+        if len(sentences) < min_count:
+            retain[i] = False
+            results.append(None)
+            continue
+        if len(sentences) > max_count:
+            # keep the longest sentences; python sort is stable, matching the
+            # reference's list.sort(key=lambda x: -len(x)) tie-breaking
+            sentences = sorted(sentences, key=lambda x: -len(x))[:max_count]
+        results.append(sentences)
+    return results
+
+
+def _build_ui(reviews, retain, max_count):
+    """Reference dataset.py:75-85."""
+    out = []
+    for i, sentences in enumerate(reviews):
+        if not retain[i]:
+            out.append(None)
+            continue
+        if len(sentences) > max_count:
+            sentences = sorted(sentences, key=lambda x: -len(x))[:max_count]
+        out.append(sentences)
+    return out
+
+
+def _pack_reviews(review_lists, max_count, max_len):
+    """Ragged [[ids...], ...] per sample -> (N, max_count, max_len) tokens,
+    (N, max_count) lengths and (N,) counts.
+
+    Pad sentences get length 1 of <PAD> tokens: this mirrors the reference's
+    length clamp max(1, len) (dataset.py:127) so they flow through the GRU
+    the same way.
+    """
+    n = len(review_lists)
+    tokens = np.zeros((n, max_count, max_len), dtype=np.int32)
+    lengths = np.ones((n, max_count), dtype=np.int32)
+    counts = np.zeros(n, dtype=np.int32)
+    for i, sents in enumerate(review_lists):
+        counts[i] = len(sents)
+        for s, ids in enumerate(sents):
+            L = min(len(ids), max_len)
+            tokens[i, s, :L] = ids[:L]
+            lengths[i, s] = max(1, L)
+    return tokens, lengths, counts
+
+
+def build_dataset(data_path, photo_json, photo_dir, word2vec, config) -> UMPRDataset:
+    df = pd.read_csv(data_path)
+    reviews = _tokenize_reviews(df, word2vec, config)
+
+    retain = [len(x) > 0 for x in reviews]
+
+    # The reference resolves photos FIRST (dataset.py:31), then user, item,
+    # and ui reviews; the order matters because each step skips samples
+    # already dropped by earlier steps.
+    photos = _resolve_photos(photo_json, photo_dir, list(df["itemID"]), retain,
+                             config.views, config.photo_count)
+    user_hist = _build_histories(df, reviews, retain, "user_num", "item_num",
+                                 config.min_sent_count, config.max_sent_count)
+    item_hist = _build_histories(df, reviews, retain, "item_num", "user_num",
+                                 config.min_sent_count, config.max_sent_count)
+    ui = _build_ui(reviews, retain, config.max_ui_sent_count)
+
+    keep = [i for i, r in enumerate(retain) if r]
+    user_hist = [user_hist[i] for i in keep]
+    item_hist = [item_hist[i] for i in keep]
+    ui = [ui[i] for i in keep]
+    photos = [photos[i] for i in keep]
+    ratings = np.asarray([df["rating"].iloc[i] for i in keep], dtype=np.float32)
+
+    S, L, S_ui = config.max_sent_count, config.max_sent_length, config.max_ui_sent_count
+    u_tok, u_len, u_cnt = _pack_reviews(user_hist, S, L)
+    i_tok, i_len, i_cnt = _pack_reviews(item_hist, S, L)
+    ui_tok, ui_len, ui_cnt = _pack_reviews(ui, S_ui, L)
+
+    photo_arr = np.asarray(photos, dtype=np.str_) if photos else \
+        np.zeros((0, len(config.views), config.photo_count), dtype=np.str_)
+
+    return UMPRDataset(
+        u_tokens=u_tok, u_lengths=u_len, u_counts=u_cnt,
+        i_tokens=i_tok, i_lengths=i_len, i_counts=i_cnt,
+        ui_tokens=ui_tok, ui_lengths=ui_len, ui_counts=ui_cnt,
+        ratings=ratings, photo_paths=photo_arr,
+    )

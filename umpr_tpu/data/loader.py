@@ -1,0 +1,124 @@
+"""Batch loader: packed dataset -> static-shape numpy batches -> device.
+
+Replaces the reference's torch DataLoader + dynamic collate function
+(src/dataset.py:146-182, main.py:76-79).  Differences, all TPU-motivated:
+
+- batches are contiguous fancy-indexed slices of pre-packed arrays (no
+  per-sample python work in the steady state);
+- every batch has the SAME shape: the final partial batch is padded with
+  dead samples carrying ``sample_mask=0`` so one compiled executable serves
+  the whole epoch (the reference's smaller last batch is reproduced
+  numerically because dead samples have sentence count 0 and never raise the
+  runtime batch maxima);
+- photos are decoded by a look-ahead prefetch thread and shipped as uint8;
+- ``prefetch_to_device`` overlaps host->HBM transfer with TPU compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from umpr_tpu.data.images import load_photo_batch
+
+
+class BatchLoader:
+    def __init__(self, dataset, batch_size, shuffle=False, ignore_photos=True,
+                 seed=0, resize=(224, 224), workers=0, pad_to_full=True):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.ignore_photos = ignore_photos
+        self.resize = resize
+        self.pad_to_full = pad_to_full
+        self._rng = np.random.default_rng(seed)
+        self._executor = ThreadPoolExecutor(max_workers=workers) if workers > 0 else None
+
+    def __len__(self):
+        n = len(self.ds)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _make_batch(self, idx):
+        ds = self.ds
+        n_real = len(idx)
+        b = self.batch_size if self.pad_to_full else n_real
+        if n_real < b:
+            # Dead padding: sample 0 repeated, then neutralized below.
+            idx = np.concatenate([idx, np.zeros(b - n_real, dtype=idx.dtype)])
+        batch = {
+            "u_tokens": ds.u_tokens[idx], "u_lengths": ds.u_lengths[idx], "u_counts": ds.u_counts[idx],
+            "i_tokens": ds.i_tokens[idx], "i_lengths": ds.i_lengths[idx], "i_counts": ds.i_counts[idx],
+            "ui_tokens": ds.ui_tokens[idx], "ui_lengths": ds.ui_lengths[idx], "ui_counts": ds.ui_counts[idx],
+            "ratings": ds.ratings[idx],
+            "sample_mask": np.ones(b, dtype=np.float32),
+        }
+        if n_real < b:
+            batch["sample_mask"][n_real:] = 0.0
+            for k in ("u_counts", "i_counts", "ui_counts"):
+                batch[k] = batch[k].copy()
+                batch[k][n_real:] = 0  # dead samples never raise batch maxima
+            for k in ("u_lengths", "i_lengths", "ui_lengths"):
+                batch[k] = batch[k].copy()
+                batch[k][n_real:] = 1
+        if not self.ignore_photos:
+            paths = ds.photo_paths[idx]
+            if n_real < b:
+                paths = paths.copy()
+                paths[n_real:] = ""
+            batch["photos"] = load_photo_batch(paths, self.resize, self._executor)
+        return batch
+
+    def __iter__(self):
+        n = len(self.ds)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, n, self.batch_size):
+            yield self._make_batch(order[start:start + self.batch_size])
+
+
+def prefetch_iter(iterator, depth=2):
+    """Run `iterator` in a background thread, `depth` items ahead."""
+    q = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # surface worker errors in the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def prefetch_to_device(batches, sharding=None, depth=2):
+    """Move host batches to device ahead of compute (double buffering).
+
+    With a NamedSharding over the batch axis this also *shards* each batch
+    across the mesh -- the TPU analogue of DataParallel scatter
+    (reference: main.py:82), minus the per-shard length pitfalls
+    (reference readme.md:154-160) because shapes are globally static.
+    """
+    import jax
+
+    def put(batch):
+        if sharding is None:
+            return {k: jax.device_put(v) for k, v in batch.items()}
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+    return prefetch_iter((put(b) for b in batches), depth=depth)

@@ -1,0 +1,106 @@
+"""Vocabulary and word-embedding table.
+
+Reproduces the observable behavior of the reference's ``Word2vec`` class
+(src/word2vec.py:6-67):
+
+- indices 0/1/2 are reserved for ``<PAD>``/``<UNK>``/``<NUM>`` and carry
+  **zero** embedding vectors (word2vec.py:9-20);
+- ``sent2indices`` maps pure-digit tokens to ``<NUM>``, out-of-vocabulary
+  tokens to ``<UNK>``, treats '.' as whitespace, and optionally
+  truncates/pads to ``align_length`` (word2vec.py:23-36);
+- the GloVe text loader appends words in file order (word2vec.py:46-52).
+
+The gensim loader of the reference (word2vec.py:54-64) required the gensim
+package, which this environment does not ship; ``source='arrays'`` replaces it
+for the pretraining path: the pretrainers (umpr_tpu/pretrain) train their own
+skip-gram embeddings and hand the (vocab, vectors) pair straight in, sorted by
+corpus frequency and truncated to ``vocab_size`` exactly like the reference's
+gensim path did.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Word2vec:
+    PAD = "<PAD>"
+    UNK = "<UNK>"
+    NUM = "<NUM>"
+
+    def __init__(self, emb_path=None, source="glove", vocab_size=0, *,
+                 vocab=None, vectors=None, counts=None):
+        assert source in ("glove", "arrays"), "Please set embedding source name correctly"
+        self.padding = self.PAD
+        self.unknown = self.UNK
+        self.number = self.NUM
+        self.vocab = [self.PAD, self.UNK, self.NUM]
+        self.word2index = {self.PAD: 0, self.UNK: 1, self.NUM: 2}
+
+        if source == "glove":
+            words, vecs = self._read_glove(emb_path)
+        else:  # 'arrays': in-memory vocabulary, e.g. from the skip-gram pretrainer
+            words, vecs = list(vocab), np.asarray(vectors, dtype=np.float32)
+            if counts is not None and vocab_size > 0:
+                # Reference gensim path: sort by corpus frequency, truncate
+                # (word2vec.py:57-58).
+                order = np.argsort(-np.asarray(counts), kind="stable")[:vocab_size]
+                words = [words[i] for i in order]
+                vecs = vecs[order]
+            elif vocab_size > 0:
+                words, vecs = words[:vocab_size], vecs[:vocab_size]
+
+        for w in words:
+            self.word2index[w] = len(self.word2index)
+        self.vocab.extend(words)
+
+        dim = vecs.shape[1] if len(vecs) else 0
+        self.embedding = np.concatenate(
+            [np.zeros((3, dim), dtype=np.float32), vecs.astype(np.float32)], axis=0
+        )
+        self.word_dim = dim
+
+    # ------------------------------------------------------------------
+    def sent2indices(self, sentence, align_length=0):
+        """Tokenize-by-whitespace and map tokens to ids.
+
+        '.' is treated as a space; digit-only tokens map to <NUM>; unknown
+        tokens map to <UNK>.  When ``align_length>0`` the output is truncated
+        and right-padded with <PAD> to exactly that length
+        (reference: word2vec.py:23-36).
+        """
+        indices = []
+        for w in sentence.replace(".", " ").strip().split():
+            if w.isdigit():
+                indices.append(2)
+            else:
+                indices.append(self.word2index.get(w, 1))
+            if 0 < align_length <= len(indices):
+                break
+        if 0 < align_length and len(indices) < align_length:
+            indices += [0] * (align_length - len(indices))
+        return indices
+
+    def pad(self, sequence, pad_length):
+        if len(sequence) < pad_length:
+            return list(sequence) + [0] * (pad_length - len(sequence))
+        return list(sequence)[:pad_length]
+
+    def __len__(self):
+        return len(self.embedding)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _read_glove(emb_path):
+        """Parse a GloVe text file: `word v1 v2 ... vD` per line."""
+        words = []
+        rows = []
+        with open(emb_path, encoding="utf-8") as f:
+            for line in f:
+                tokens = line.split()
+                if len(tokens) < 2:
+                    continue
+                words.append(tokens[0])
+                rows.append(np.asarray(tokens[1:], dtype=np.float32))
+        vecs = np.stack(rows) if rows else np.zeros((0, 0), np.float32)
+        return words, vecs
