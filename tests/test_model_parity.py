@@ -1,0 +1,88 @@
+"""End-to-end forward parity: our JAX model vs the actual reference
+implementation with identical weights and batches.
+
+This is the strongest correctness check in the suite: it exercises the full
+static-shape + runtime-exists-mask machinery against the reference's
+dynamic per-batch padding (see umpr_tpu/ops/masking.py).
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from umpr_tpu.models.umpr import ModelDims, init_umpr, umpr_forward
+from tests.ref_oracle import (
+    import_reference_model, patch_improved_rnn, load_umpr,
+    batch_to_reference, RefConfig, random_batch,
+)
+
+torch = pytest.importorskip("torch")
+
+
+def run_ours(params, batch, dims):
+    b = {k: jax.numpy.asarray(v) for k, v in batch.items()}
+    pred, loss, aux = umpr_forward(params, b, dims, train=False)
+    return np.asarray(pred), float(loss)
+
+
+def run_reference(ref, params, batch, review_net_only):
+    cfg = RefConfig(review_net_only=review_net_only)
+    model = load_umpr(ref, params, cfg)
+    model.eval()
+    with torch.no_grad():
+        pred, loss = model(*batch_to_reference(batch))
+    return pred.numpy(), float(loss)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_review_net_only_parity(seed):
+    """Random variable lengths; bug-fixed oracle (see ref_oracle docstring)."""
+    ref = import_reference_model()
+    patch_improved_rnn(ref)
+    rng = np.random.default_rng(seed)
+    batch = random_batch(rng, B=5, S=7, L=13, S_ui=3)
+    dims = ModelDims(review_net_only=True)
+    params = init_umpr(jax.random.PRNGKey(seed), dims, rng.standard_normal((40, 16)).astype(np.float32))
+
+    ours_pred, ours_loss = run_ours(params, batch, dims)
+    ref_pred, ref_loss = run_reference(ref, params, batch, review_net_only=True)
+    np.testing.assert_allclose(ours_pred, ref_pred, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ours_loss, ref_loss, rtol=1e-4, atol=1e-5)
+
+
+def test_review_net_only_parity_unpatched_equal_lengths():
+    """With all lengths equal, the reference's double-unsort quirk is a
+    no-op, so the UNPATCHED reference must match too."""
+    ref = import_reference_model()
+    import importlib
+    import src.model
+    importlib.reload(src.model)  # undo any patching from other tests
+    rng = np.random.default_rng(3)
+    batch = random_batch(rng, B=4, S=5, L=10, S_ui=2, equal_lengths=True)
+    dims = ModelDims(review_net_only=True)
+    params = init_umpr(jax.random.PRNGKey(7), dims, rng.standard_normal((40, 16)).astype(np.float32))
+
+    ours_pred, ours_loss = run_ours(params, batch, dims)
+    ref_pred, ref_loss = run_reference(src.model, params, batch, review_net_only=True)
+    np.testing.assert_allclose(ours_pred, ref_pred, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ours_loss, ref_loss, rtol=1e-4, atol=1e-5)
+
+
+def test_full_umpr_parity():
+    """Full model: ReviewNet + ControlNet + VisualNet (VGG16) + both losses."""
+    ref = import_reference_model()
+    patch_improved_rnn(ref)
+    rng = np.random.default_rng(11)
+    batch = random_batch(rng, B=2, S=5, L=11, S_ui=3, V=2, P=1,
+                         with_photos=True, img=224)
+    dims = ModelDims(review_net_only=False, view_size=2)
+    params = init_umpr(jax.random.PRNGKey(5), dims, rng.standard_normal((40, 16)).astype(np.float32))
+
+    ours_pred, ours_loss = run_ours(params, batch, dims)
+    cfg = RefConfig(review_net_only=False, views=["a", "b"])
+    model = load_umpr(ref, params, cfg)
+    model.eval()
+    with torch.no_grad():
+        ref_pred, ref_loss = model(*batch_to_reference(batch))
+    np.testing.assert_allclose(ours_pred, ref_pred.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(ours_loss, float(ref_loss), rtol=1e-3, atol=1e-4)

@@ -1,0 +1,136 @@
+"""UMPR top model: embedding -> ReviewNet [-> ControlNet + VisualNet] ->
+fusion -> prediction + loss.
+
+Math parity with reference src/model.py:232-278, including:
+- the GloVe embedding table is FROZEN (from_pretrained default freeze,
+  model.py:237) -- enforced by the optimizer mask, not here;
+- ReLU on the final prediction (model.py:243,254);
+- the auxiliary visual loss is the mean of the full (V, V) cross-batch
+  matmul prefer^T @ match (model.py:276) -- it SUMS over the batch inside
+  the contraction, so it scales with batch size; dead padded samples are
+  zeroed out of `prefer` so static batches reproduce the reference's
+  smaller final batch exactly;
+- total loss = mse + loss_v_rate * loss_v (model.py:277).
+
+The train/eval MSE is a mask-weighted mean, equal to the reference's
+reduction='mean' over the real samples of the batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from umpr_tpu.models.layers import init_linear, linear
+from umpr_tpu.models.review_net import init_review_net, review_net
+from umpr_tpu.models.control_net import init_control_net, control_net
+from umpr_tpu.models.visual_net import init_visual_net, visual_net
+from umpr_tpu.ops import masking
+
+
+@dataclass(frozen=True)
+class ModelDims:
+    """Static model configuration (hashable; safe to close over under jit)."""
+    emb_size: int = 50
+    gru_size: int = 64
+    self_atte_size: int = 64
+    kernel_count: int = 120
+    kernel_size: int = 3
+    threshold: float = 0.35
+    view_size: int = 1
+    loss_v_rate: float = 0.1
+    review_net_only: bool = False
+    use_pallas: bool = False
+
+    @classmethod
+    def from_config(cls, config, use_pallas=None):
+        return cls(
+            gru_size=config.gru_size,
+            self_atte_size=config.self_atte_size,
+            kernel_count=config.kernel_count,
+            kernel_size=config.kernel_size,
+            threshold=config.threshold,
+            view_size=len(config.views),
+            loss_v_rate=config.loss_v_rate,
+            review_net_only=config.review_net_only,
+            use_pallas=config.use_pallas if use_pallas is None else use_pallas,
+        )
+
+
+def init_umpr(key, dims: ModelDims, word_emb):
+    """word_emb: (vocab, emb_size) numpy/jax array (frozen GloVe table)."""
+    word_emb = jnp.asarray(word_emb, jnp.float32)
+    emb_size = word_emb.shape[1]
+    ks = jax.random.split(key, 4)
+    params = {
+        "embedding": word_emb,
+        "review_net": init_review_net(ks[0], emb_size, dims.gru_size, dims.self_atte_size),
+    }
+    if dims.review_net_only:
+        params["linear_fusion"] = init_linear(ks[1], dims.gru_size * 2, 1)
+    else:
+        params["control_net"] = init_control_net(
+            ks[2], emb_size, dims.gru_size, dims.kernel_count, dims.kernel_size,
+            dims.view_size, dims.self_atte_size)
+        params["visual_net"] = init_visual_net(ks[3], dims.view_size)
+        params["linear_fusion"] = init_linear(
+            ks[1], dims.gru_size * 2 + 2 * dims.view_size, 1)
+    return params
+
+
+def umpr_forward(params, batch, dims: ModelDims, train=False, dropout_rng=None):
+    """batch: dict from umpr_tpu.data.loader.BatchLoader (device arrays).
+
+    Returns (prediction (B,), loss scalar, aux dict).
+    Reference call stack: model.py:257-278.
+    """
+    u_tok, i_tok, ui_tok = batch["u_tokens"], batch["i_tokens"], batch["ui_tokens"]
+    u_len, i_len, ui_len = batch["u_lengths"], batch["i_lengths"], batch["ui_lengths"]
+    labels = batch["ratings"]
+    mask = batch.get("sample_mask")
+    if mask is None:
+        mask = jnp.ones(labels.shape, labels.dtype)
+
+    B, S, L = u_tok.shape
+    S_ui = ui_tok.shape[1]
+
+    # Runtime batch maxima -> exists masks (user/item share theirs, as the
+    # reference pads them jointly: dataset.py:163-170).
+    Sb = masking.batch_max_count(batch["u_counts"], batch["i_counts"])
+    Lb = masking.batch_max_length(u_len, i_len)
+    exists = masking.exists_mask(Sb, Lb, S, L)
+    ui_exists = masking.exists_mask(batch["ui_counts"].max(), ui_len.max(), S_ui, L)
+
+    emb = params["embedding"]
+    u_emb = emb[u_tok]     # (B, S, L, E)
+    i_emb = emb[i_tok]
+    ui_emb = emb[ui_tok]   # (B, S_ui, L, E)
+
+    rn = review_net(params["review_net"], u_emb, i_emb, u_len, i_len, exists,
+                    dims.use_pallas)  # (B, 2u)
+
+    if dims.review_net_only:
+        prediction = jax.nn.relu(linear(params["linear_fusion"], rn))[:, 0]
+        loss = _masked_mse(prediction, labels, mask)
+        return prediction, loss, {"loss_r": loss}
+
+    c_u, c_i, prefer_pos, prefer_neg = control_net(
+        params["control_net"], u_emb, i_emb, ui_emb, u_len, i_len, ui_len,
+        exists, ui_exists, dims.threshold, dims.use_pallas)
+    pos_match, neg_match, final_pos, final_neg = visual_net(
+        params["visual_net"], batch["photos"], c_u, c_i, train, dropout_rng)
+
+    fused = jnp.concatenate([rn, final_pos, final_neg], axis=-1)
+    prediction = jax.nn.relu(linear(params["linear_fusion"], fused))[:, 0]
+    loss_r = _masked_mse(prediction, labels, mask)
+    # Cross-batch (V, B) @ (B, V) visual loss; dead samples zeroed via prefer.
+    m = mask[:, None]
+    loss_v = jnp.mean((prefer_pos * m).T @ pos_match + (prefer_neg * m).T @ neg_match)
+    loss = loss_r + dims.loss_v_rate * loss_v
+    return prediction, loss, {"loss_r": loss_r, "loss_v": loss_v}
+
+
+def _masked_mse(pred, labels, mask):
+    return jnp.sum(mask * (pred - labels) ** 2) / jnp.maximum(jnp.sum(mask), 1.0)

@@ -1,0 +1,131 @@
+"""Visual network: VGG16 feature extractor + per-view positive/negative
+matching (paper eqs. 10-11).
+
+Reference: src/model.py:201-229 uses torchvision's pretrained VGG16 with its
+full 1000-logit classifier, fed /255 RGB images WITHOUT ImageNet mean/std
+normalization (a reference quirk preserved by the data pipeline), and keeps
+VGG16 *trainable* (no requires_grad_(False) in the reference).
+
+TPU-first details:
+- NHWC layout and lax.conv_general_dilated (XLA tiles these convs onto the
+  MXU directly);
+- pixels arrive as uint8 and are converted to float on device, fusing the
+  /255 into the first conv's prologue;
+- the flatten between features and classifier transposes to NCHW order so
+  torchvision-pretrained weights can be loaded verbatim
+  (tools/convert_vgg16.py).
+
+Init parity: without a pretrained checkpoint, weights follow torchvision's
+_initialize_weights (kaiming-normal fan_out for convs, N(0, 0.01) for
+linears, zero biases).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from umpr_tpu.models.layers import init_linear, linear, randn
+
+# VGG16 ("configuration D") feature layout: conv channel widths with 'M' max-pools.
+VGG16_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+             512, 512, 512, "M", 512, 512, 512, "M")
+VGG_OUT = 1000
+
+
+def init_vgg16(key, num_classes=VGG_OUT):
+    params = {"features": [], "classifier": []}
+    in_ch = 3
+    for v in VGG16_CFG:
+        if v == "M":
+            continue
+        key, k_w = jax.random.split(key)
+        fan_out = v * 3 * 3
+        params["features"].append({
+            "kernel": jax.random.normal(k_w, (3, 3, in_ch, v), jnp.float32)
+                      * math.sqrt(2.0 / fan_out),
+            "bias": jnp.zeros((v,), jnp.float32),
+        })
+        in_ch = v
+    dims = [(512 * 7 * 7, 4096), (4096, 4096), (4096, num_classes)]
+    for d_in, d_out in dims:
+        key, k_w = jax.random.split(key)
+        params["classifier"].append({
+            "kernel": jax.random.normal(k_w, (d_in, d_out), jnp.float32) * 0.01,
+            "bias": jnp.zeros((d_out,), jnp.float32),
+        })
+    return params
+
+
+def _maxpool2x2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1), padding="VALID")
+
+
+def vgg16(params, images, train=False, dropout_rng=None):
+    """images: (N, 224, 224, 3) float in [0,1] -> (N, 1000) logits.
+
+    Dropout (p=0.5) is active in train mode exactly as torchvision's
+    classifier does during reference training.
+    """
+    x = images
+    conv_idx = 0
+    for v in VGG16_CFG:
+        if v == "M":
+            x = _maxpool2x2(x)
+            continue
+        p = params["features"][conv_idx]
+        conv_idx += 1
+        x = jax.lax.conv_general_dilated(
+            x, p["kernel"], window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = jax.nn.relu(x + p["bias"])
+    # (N, 7, 7, 512) -> flatten in NCHW order for torch-weight compatibility
+    n = x.shape[0]
+    x = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, -1)
+
+    for i, p in enumerate(params["classifier"]):
+        x = linear(p, x)
+        if i < 2:
+            x = jax.nn.relu(x)
+            if train and dropout_rng is not None:
+                dropout_rng, sub = jax.random.split(dropout_rng)
+                keep = jax.random.bernoulli(sub, 0.5, x.shape)
+                x = jnp.where(keep, x / 0.5, 0.0)
+    return x
+
+
+def init_visual_net(key, view_size, vgg_out=VGG_OUT):
+    ks = jax.random.split(key, 4)
+    return {
+        "vgg16": init_vgg16(ks[0], vgg_out),
+        "pos_v_emb": randn(ks[1], (view_size, vgg_out)),  # torch.randn (model.py:208)
+        "neg_v_emb": randn(ks[2], (view_size, vgg_out)),
+        "linear": init_linear(ks[3], vgg_out, 1),
+    }
+
+
+def visual_net(p, images_u8, c_u, c_i, train=False, dropout_rng=None):
+    """images_u8: (B, V, P, H, W, 3) uint8 -> matching scores (eq. 10-11).
+
+    Reference: model.py:212-229.  Returns pos_match, neg_match, final_pos,
+    final_neg, each (B, view_size).
+    """
+    B, V, P = images_u8.shape[:3]
+    images = images_u8.reshape((B * V * P,) + images_u8.shape[3:])
+    images = images.astype(jnp.float32) / 255.0  # on-device /255, NO mean/std norm
+    img_repr = vgg16(p["vgg16"], images, train, dropout_rng)
+    img_repr = img_repr.reshape(B, V, P, -1).mean(axis=2)  # eq. 10
+
+    img_emb = linear(p["linear"], img_repr)[..., 0]          # (B, V)
+    pos_emb = linear(p["linear"], p["pos_v_emb"])[..., 0]    # (V,)
+    neg_emb = linear(p["linear"], p["neg_v_emb"])[..., 0]
+    pos_match = jnp.tanh(jnp.abs(pos_emb - img_emb))  # eq. 11
+    neg_match = jnp.tanh(jnp.abs(neg_emb - img_emb))
+
+    final_pos = c_u * c_i * (1.0 - pos_match)
+    final_neg = c_u * c_i * (1.0 - neg_match)
+    return pos_match, neg_match, final_pos, final_neg

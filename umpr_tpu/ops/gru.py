@@ -55,14 +55,14 @@ def init_bigru(key, in_size, hidden):
         "fwd": {
             "w_ih": u(keys[0], (in_size, 3 * hidden)),
             "w_hh": u(keys[1], (hidden, 3 * hidden)),
-            "b_ih": u(keys[2], (3 * hidden,)),
-            "b_hh": u(keys[3], (3 * hidden,)),
+            "bias_ih": u(keys[2], (3 * hidden,)),
+            "bias_hh": u(keys[3], (3 * hidden,)),
         },
         "bwd": {
             "w_ih": u(keys[4], (in_size, 3 * hidden)),
             "w_hh": u(keys[5], (hidden, 3 * hidden)),
-            "b_ih": u(keys[6], (3 * hidden,)),
-            "b_hh": u(keys[7], (3 * hidden,)),
+            "bias_ih": u(keys[6], (3 * hidden,)),
+            "bias_hh": u(keys[7], (3 * hidden,)),
         },
     }
 
@@ -107,14 +107,14 @@ def bigru_scan(params, x, lengths):
     hidden = params["fwd"]["w_hh"].shape[0]
     # One fused input projection for both directions: (N*L, E) @ (E, 6H).
     w_ih = jnp.concatenate([params["fwd"]["w_ih"], params["bwd"]["w_ih"]], axis=1)
-    b_ih = jnp.concatenate([params["fwd"]["b_ih"], params["bwd"]["b_ih"]], axis=0)
-    xg = x @ w_ih + b_ih  # (N, L, 6H)
+    bias_ih = jnp.concatenate([params["fwd"]["bias_ih"], params["bwd"]["bias_ih"]], axis=0)
+    xg = x @ w_ih + bias_ih  # (N, L, 6H)
     xg = jnp.swapaxes(xg, 0, 1)  # (L, N, 6H) time-major for the scan
 
     y_f = _direction_scan(xg[..., :3 * hidden], lengths,
-                          params["fwd"]["w_hh"], params["fwd"]["b_hh"], hidden, reverse=False)
+                          params["fwd"]["w_hh"], params["fwd"]["bias_hh"], hidden, reverse=False)
     y_b = _direction_scan(xg[..., 3 * hidden:], lengths,
-                          params["bwd"]["w_hh"], params["bwd"]["b_hh"], hidden, reverse=True)
+                          params["bwd"]["w_hh"], params["bwd"]["bias_hh"], hidden, reverse=True)
     y = jnp.concatenate([y_f, y_b], axis=-1)  # (L, N, 2H)
     return jnp.swapaxes(y, 0, 1)  # (N, L, 2H)
 
@@ -133,8 +133,8 @@ def torch_gru_params(params):
         p = params[direction]
         out[f"weight_ih_l0{suffix}"] = np.asarray(p["w_ih"]).T
         out[f"weight_hh_l0{suffix}"] = np.asarray(p["w_hh"]).T
-        out[f"bias_ih_l0{suffix}"] = np.asarray(p["b_ih"])
-        out[f"bias_hh_l0{suffix}"] = np.asarray(p["b_hh"])
+        out[f"bias_ih_l0{suffix}"] = np.asarray(p["bias_ih"])
+        out[f"bias_hh_l0{suffix}"] = np.asarray(p["bias_hh"])
     return out
 
 
@@ -144,7 +144,7 @@ def from_torch_gru(state_dict):
         return {
             "w_ih": jnp.asarray(np.asarray(state_dict[f"weight_ih_l0{suffix}"]).T),
             "w_hh": jnp.asarray(np.asarray(state_dict[f"weight_hh_l0{suffix}"]).T),
-            "b_ih": jnp.asarray(np.asarray(state_dict[f"bias_ih_l0{suffix}"])),
-            "b_hh": jnp.asarray(np.asarray(state_dict[f"bias_hh_l0{suffix}"])),
+            "bias_ih": jnp.asarray(np.asarray(state_dict[f"bias_ih_l0{suffix}"])),
+            "bias_hh": jnp.asarray(np.asarray(state_dict[f"bias_hh_l0{suffix}"])),
         }
     return {"fwd": grab(""), "bwd": grab("_reverse")}
