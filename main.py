@@ -1,0 +1,85 @@
+"""UMPR-TPU entry point.
+
+Public CLI surface identical to the reference main.py:102-135 (--data_dir,
+--views, --review_net_only, --test_only, --model_path, plus every Config
+hyperparameter as a flag), with the same log-line surface.  The torch-pickle
+dataset cache (reference main.py:66-73) becomes packed-array .npz caches per
+split.
+"""
+
+import os
+import sys
+
+from umpr_tpu.config import Config
+from umpr_tpu.data.dataset import UMPRDataset, build_dataset
+from umpr_tpu.text.vocab import Word2vec
+from umpr_tpu.train.trainer import Trainer
+from umpr_tpu.utils.logging import get_logger, date
+
+
+def load_split(name, csv_path, photo_json, photo_dir, w2v, config, logger):
+    cache = os.path.join(config.data_dir, f"dataset_{name}.npz")
+    if config.cache_dataset and os.path.exists(cache):
+        logger.info(f"Loaded {name} dataset from {cache}!")
+        return UMPRDataset.load(cache)
+    logger.debug(f"Loading {name} dataset.")
+    ds = build_dataset(csv_path, photo_json, photo_dir, w2v, config)
+    if config.cache_dataset:
+        ds.save(cache)
+    return ds
+
+
+def main():
+    config = Config()
+
+    if config.device == "cpu":
+        # Must happen before first backend use; overrides any TPU plugin that
+        # force-registered itself (see tests/conftest.py note).
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    if config.test_only:
+        if not os.path.exists(config.model_path):
+            print(f"{config.model_path} is not exist! Please train first "
+                  f"(set test_only=False in config.py)!")
+            sys.exit(-1)
+    else:
+        save_name = os.path.basename(config.data_dir.strip("/")) + (
+            "_review_net" if config.review_net_only else "")
+        stamp = date("%Y%m%d_%H%M%S")
+        config.log_path = config.log_path or f"./log/{save_name}{stamp}.txt"
+        config.model_path = config.model_path or f"./model/{save_name}{stamp}"
+        os.makedirs(os.path.dirname(config.log_path), exist_ok=True)
+        os.makedirs(config.model_path, exist_ok=True)
+
+    photo_dir = os.path.join(config.data_dir, "photos")
+    photo_json = os.path.join(config.data_dir, "photos.json")
+    train_path = os.path.join(config.data_dir, "train.csv")
+    valid_path = os.path.join(config.data_dir, "valid.csv")
+    test_path = os.path.join(config.data_dir, "test.csv")
+
+    logger = get_logger(config.log_path)
+    logger.info(config)
+    logger.info(f"Logging to {config.log_path}")
+    logger.info(f"Save model {config.model_path}")
+    logger.info(f"Photo path {photo_dir}")
+    logger.info(f"Photo json {photo_json}")
+    logger.info(f"Train file {train_path}")
+    logger.info(f"Valid file {valid_path}")
+    logger.info(f"Test  file {test_path}\n")
+
+    w2v = Word2vec(config.word2vec_file)
+    trainer = Trainer(config, logger, w2v)
+
+    if not config.test_only:
+        train_data = load_split("train", train_path, photo_json, photo_dir, w2v, config, logger)
+        valid_data = load_split("valid", valid_path, photo_json, photo_dir, w2v, config, logger)
+        logger.info(f"Training dataset contains {len(train_data)} samples.")
+        trainer.fit(train_data, valid_data, config.model_path)
+
+    test_data = load_split("test", test_path, photo_json, photo_dir, w2v, config, logger)
+    trainer.test(test_data, config.model_path)
+
+
+if __name__ == "__main__":
+    main()

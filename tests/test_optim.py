@@ -1,0 +1,91 @@
+"""Optimizer parity vs torch.optim.Adam with the reference's two-group
+weight-decay setup (reference main.py:22-26), and gradient parity of the
+full model vs torch autograd through the reference implementation."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from umpr_tpu.train.optim import make_optimizer, split_frozen
+from umpr_tpu.models.umpr import ModelDims, init_umpr, umpr_forward
+
+torch = pytest.importorskip("torch")
+
+
+def test_adam_weight_decay_parity():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((6, 4)).astype(np.float32)
+    b = rng.standard_normal(4).astype(np.float32)
+    params = {"layer": {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}}
+    l2, lr = 1e-3, 1e-2
+
+    tx = make_optimizer(l2)
+    state = tx.init(params)
+
+    tw = torch.nn.Parameter(torch.tensor(w))
+    tb = torch.nn.Parameter(torch.tensor(b))
+    opt = torch.optim.Adam(
+        [{"params": [tw]}, {"params": [tb], "weight_decay": 0.0}],
+        lr=lr, weight_decay=l2)
+
+    for step in range(3):
+        gw = rng.standard_normal(w.shape).astype(np.float32)
+        gb = rng.standard_normal(b.shape).astype(np.float32)
+        grads = {"layer": {"kernel": jnp.asarray(gw), "bias": jnp.asarray(gb)}}
+        updates, state = tx.update(grads, state, params)
+        params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+
+        tw.grad = torch.tensor(gw)
+        tb.grad = torch.tensor(gb)
+        opt.step()
+
+    np.testing.assert_allclose(np.asarray(params["layer"]["kernel"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["layer"]["bias"]),
+                               tb.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_gradient_parity_review_net():
+    """jax.grad through our masked static-shape model == torch autograd
+    through the (bug-fixed) reference on the same weights and batch."""
+    from tests.ref_oracle import (import_reference_model, patch_improved_rnn,
+                                  load_umpr, batch_to_reference, RefConfig,
+                                  random_batch)
+    ref = import_reference_model()
+    patch_improved_rnn(ref)
+
+    rng = np.random.default_rng(4)
+    batch = random_batch(rng, B=4, S=5, L=10, S_ui=2)
+    dims = ModelDims(review_net_only=True)
+    params = init_umpr(jax.random.PRNGKey(2), dims,
+                       rng.standard_normal((40, 16)).astype(np.float32))
+    trainable, frozen = split_frozen(params)
+
+    def loss_fn(tr):
+        full = {**tr, **frozen}
+        b = {k: jnp.asarray(v) for k, v in batch.items()}
+        _, loss, _ = umpr_forward(full, b, dims, train=False)
+        return loss
+
+    grads = jax.grad(loss_fn)(trainable)
+
+    model = load_umpr(ref, params, RefConfig(review_net_only=True))
+    model.train()  # no dropout in the review net; train() only matters for VGG
+    _, ref_loss = model(*batch_to_reference(batch))
+    ref_loss.backward()
+
+    pairs = [
+        (grads["review_net"]["rnet"]["M"], model.review_net.r_net.M.grad),
+        (grads["review_net"]["linear_u"]["kernel"], model.review_net.linear_u.weight.grad.T),
+        (grads["review_net"]["snet_u"]["Ms"], model.review_net.s_net_u.Ms.grad),
+        (grads["review_net"]["rnet"]["gru"]["fwd"]["w_ih"],
+         model.review_net.r_net.gru.module.weight_ih_l0.grad.T),
+        (grads["review_net"]["rnet"]["gru"]["bwd"]["bias_hh"],
+         model.review_net.r_net.gru.module.bias_hh_l0_reverse.grad),
+        (grads["linear_fusion"]["kernel"], model.linear_fusion[0].weight.grad.T),
+        (grads["linear_fusion"]["bias"], model.linear_fusion[0].bias.grad),
+    ]
+    for ours, theirs in pairs:
+        np.testing.assert_allclose(np.asarray(ours), theirs.detach().numpy(),
+                                   rtol=1e-3, atol=1e-5)

@@ -1,0 +1,55 @@
+"""Data-parallel invariant: N-device training is step-for-step identical to
+1-device training on the same global batch.
+
+This is exactly the invariant the reference's DataParallel bug violated
+(reference readme.md:154-160): per-shard max lengths drifted from the global
+pad length.  With static global shapes + runtime masks the bug cannot exist;
+this test proves it on an 8-way virtual CPU mesh.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from umpr_tpu.models.umpr import ModelDims, init_umpr
+from umpr_tpu.parallel.mesh import make_mesh, replicated, batch_sharded
+from umpr_tpu.train.optim import make_optimizer, split_frozen
+from umpr_tpu.train.step import make_train_step
+from tests.ref_oracle import random_batch
+
+
+def run_steps(devices, n_steps=3, seed=0):
+    mesh = make_mesh(devices)
+    rep, dp = replicated(mesh), batch_sharded(mesh)
+
+    rng = np.random.default_rng(seed)
+    dims = ModelDims(review_net_only=True)
+    params = init_umpr(jax.random.PRNGKey(seed), dims,
+                       rng.standard_normal((50, 16)).astype(np.float32))
+    trainable, frozen = split_frozen(params)
+    trainable = jax.device_put(trainable, rep)
+    frozen = jax.device_put(frozen, rep)
+    tx = make_optimizer(1e-3)
+    opt_state = jax.device_put(tx.init(trainable), rep)
+    step = make_train_step(dims, tx, donate=False)
+
+    losses = []
+    for i in range(n_steps):
+        batch = random_batch(np.random.default_rng(100 + i), B=16, S=5, L=12, S_ui=2)
+        batch = {k: jax.device_put(jnp.asarray(v), dp) for k, v in batch.items()}
+        trainable, opt_state, loss, _ = step(
+            trainable, frozen, opt_state, batch, 1e-3, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    return losses, trainable
+
+
+def test_8dev_equals_1dev():
+    devices = jax.devices()
+    assert len(devices) >= 8
+    losses_1, tr_1 = run_steps(devices[:1])
+    losses_8, tr_8 = run_steps(devices[:8])
+    np.testing.assert_allclose(losses_1, losses_8, rtol=1e-5, atol=1e-6)
+    l1 = jax.tree_util.tree_leaves(tr_1)
+    l8 = jax.tree_util.tree_leaves(tr_8)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)

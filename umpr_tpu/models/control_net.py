@@ -87,8 +87,12 @@ def control_net(p, user_emb, item_emb, ui_emb, u_lengths, i_lengths, ui_lengths,
     B, S_ui, L, _ = ui_emb.shape
     gru_repr, view_p, c_net_out = cnet(p["cnet"], ui_emb, ui_lengths, ui_exists,
                                        threshold, use_pallas)
-    _, _, c_u = cnet(p["cnet"], user_emb, u_lengths, exists, threshold, use_pallas)
-    _, _, c_i = cnet(p["cnet"], item_emb, i_lengths, exists, threshold, use_pallas)
+    # One C-Net launch for user+item histories (same shapes, shared weights;
+    # numerically identical, halves GRU/conv launch overhead).
+    both = jnp.concatenate([user_emb, item_emb], axis=0)
+    both_len = jnp.concatenate([u_lengths, i_lengths], axis=0)
+    _, _, c_both = cnet(p["cnet"], both, both_len, exists, threshold, use_pallas)
+    c_u, c_i = c_both[:B], c_both[B:]
 
     # S-Net over the ui review; per-sentence "mass" weights are view_p sums,
     # exactly as the reference passes view_p as word_soft (model.py:185).

@@ -38,10 +38,14 @@ def rnet(p, user_emb, item_emb, u_lengths, i_lengths, exists, use_pallas=False):
     atte_u, atte_i (B, 2u).  Reference: model.py:36-56 (eq. 3-4).
     """
     B, S, L, E = user_emb.shape
-    gru_u = bigru(p["gru"], user_emb.reshape(B * S, L, E), u_lengths.reshape(-1), use_pallas)
-    gru_i = bigru(p["gru"], item_emb.reshape(B * S, L, E), i_lengths.reshape(-1), use_pallas)
-    gru_u = gru_u.reshape(B, S * L, -1)
-    gru_i = gru_i.reshape(B, S * L, -1)
+    # One GRU launch for user+item (weights are shared; numerically
+    # identical, halves the sequential-scan overhead on TPU).
+    both = jnp.concatenate([user_emb.reshape(B * S, L, E),
+                            item_emb.reshape(B * S, L, E)], axis=0)
+    both_len = jnp.concatenate([u_lengths.reshape(-1), i_lengths.reshape(-1)])
+    gru_ui = bigru(p["gru"], both, both_len, use_pallas)
+    gru_u = gru_ui[:B * S].reshape(B, S * L, -1)
+    gru_i = gru_ui[B * S:].reshape(B, S * L, -1)
     e = exists.reshape(S * L)
 
     # Affinity A[p, q] = tanh(gru_i[p] . M . gru_u[q])   (eq. 3)

@@ -1,0 +1,46 @@
+"""Device mesh + sharding layout.
+
+Replaces the reference's single-process DataParallel (main.py:81-84) with
+SPMD over a jax.sharding.Mesh:
+
+- parameters are replicated across the 'dp' axis;
+- every batch array is sharded along its leading (batch) dimension;
+- under jit, XLA inserts the gradient/loss reductions as ICI collectives
+  (psum) automatically -- the hand-rolled scatter/gather and its per-shard
+  length pitfalls (reference readme.md:154-160) do not exist by
+  construction, because shapes are globally static and masks are data.
+
+The mesh is 1-D ('dp') by default; `make_mesh` accepts an explicit shape so
+larger topologies (dp x mp) can be laid out later without touching callers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, shape=None, axis_names=None):
+    """Build a Mesh.  Default: every visible device on one 'dp' axis."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if shape:
+        devices = devices[: int(np.prod(shape))].reshape(tuple(shape))
+        axis_names = axis_names or tuple(f"ax{i}" for i in range(devices.ndim))
+        if len(shape) == 1:
+            axis_names = ("dp",)
+    else:
+        axis_names = ("dp",)
+    return Mesh(devices.reshape(devices.shape if shape else (-1,)), axis_names)
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh, axis="dp"):
+    """Shard the leading (batch) dimension; replicate everything else."""
+    return NamedSharding(mesh, P(axis))

@@ -1,0 +1,147 @@
+"""Training / evaluation driver.
+
+Same observable surface as the reference driver (main.py:16-99): the same
+log lines at the same cadence (initial validation MSE, per-500-batch train
+loss + valid MSE, save-on-best, per-epoch summary, 50k-batch hard stop,
+wall-clock summary), with the TPU-native machinery underneath: jitted steps,
+mesh-sharded batches, host-side prefetch, device double buffering.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from umpr_tpu.data.loader import BatchLoader, prefetch_to_device
+from umpr_tpu.models.umpr import ModelDims, init_umpr
+from umpr_tpu.parallel.mesh import make_mesh, replicated, batch_sharded
+from umpr_tpu.train import checkpoint as ckpt
+from umpr_tpu.train.optim import (make_optimizer, split_frozen, merge_params,
+                                  lr_at_epoch)
+from umpr_tpu.train.step import make_train_step, make_eval_step, evaluate_mse
+
+
+class Trainer:
+    def __init__(self, config, logger, word2vec):
+        self.config = config
+        self.logger = logger
+        self.w2v = word2vec
+        self.dims = ModelDims.from_config(config)
+
+        try:
+            devices = jax.devices(config.device) if config.device else jax.devices()
+        except RuntimeError:  # requested platform unavailable -> default
+            devices = jax.devices()
+        if not config.multi_gpu:
+            devices = devices[:1]
+        self.mesh = make_mesh(devices, shape=config.mesh_shape or None)
+        n_dev = int(np.prod([d for d in self.mesh.devices.shape]))
+        assert config.batch_size % n_dev == 0, (
+            f"batch_size {config.batch_size} must divide over {n_dev} devices")
+        self.rep = replicated(self.mesh)
+        self.dp = batch_sharded(self.mesh)
+
+        key = jax.random.PRNGKey(config.seed)
+        params = init_umpr(key, self.dims, word2vec.embedding)
+        self.trainable, self.frozen = split_frozen(params)
+        self.trainable = jax.device_put(self.trainable, self.rep)
+        self.frozen = jax.device_put(self.frozen, self.rep)
+
+        self.tx = make_optimizer(config.l2_regularization)
+        self.opt_state = jax.device_put(self.tx.init(self.trainable), self.rep)
+        self.train_step = make_train_step(self.dims, self.tx)
+        self.eval_step = make_eval_step(self.dims)
+
+        self.batch_counter = 0
+        self.start_epoch = 0
+        self.best_loss = 100.0
+        if config.resume_path:
+            self.trainable, self.opt_state, meta = ckpt.restore_last(
+                config.resume_path, self.trainable, self.opt_state)
+            self.trainable = jax.device_put(self.trainable, self.rep)
+            self.opt_state = jax.device_put(self.opt_state, self.rep)
+            self.batch_counter = meta["batch_counter"]
+            self.start_epoch = meta["epoch"]
+            self.best_loss = meta["best_loss"]
+            self.logger.info(f"Resumed from {config.resume_path} at epoch "
+                             f"{self.start_epoch}, batch {self.batch_counter}.")
+
+    # ------------------------------------------------------------------
+    def _loader(self, dataset, shuffle=False, seed=0):
+        cfg = self.config
+        return BatchLoader(dataset, cfg.batch_size, shuffle=shuffle,
+                           ignore_photos=cfg.review_net_only, seed=seed,
+                           workers=cfg.data_workers)
+
+    def _device_batches(self, loader):
+        return prefetch_to_device(iter(loader), self.dp,
+                                  depth=self.config.prefetch_depth)
+
+    def _evaluate(self, loader):
+        return evaluate_mse(self.eval_step, self.trainable, self.frozen,
+                            self._device_batches(loader))
+
+    # ------------------------------------------------------------------
+    def fit(self, train_data, valid_data, model_path):
+        cfg, logger = self.config, self.logger
+        logger.info("Start to train!")
+        valid_loader = self._loader(valid_data)
+        valid_mse = self._evaluate(valid_loader)
+        logger.info(f"Initial validation mse is {valid_mse:.6f}")
+        start_time = time.perf_counter()
+
+        profiled = False
+        for epoch in range(self.start_epoch, cfg.train_epochs):
+            lr = lr_at_epoch(cfg.learning_rate, cfg.lr_decay, epoch)
+            train_loader = self._loader(train_data, shuffle=True, seed=cfg.seed + epoch)
+            total_loss, total_samples = 0.0, 0.0
+            for batch in self._device_batches(train_loader):
+                if cfg.profile_dir and not profiled and self.batch_counter == 2:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                n_real = float(np.asarray(batch["sample_mask"]).sum())
+                rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), self.batch_counter)
+                self.trainable, self.opt_state, loss, aux = self.train_step(
+                    self.trainable, self.frozen, self.opt_state, batch,
+                    lr, rng)
+                total_loss += float(loss) * n_real
+                total_samples += n_real
+
+                if cfg.profile_dir and not profiled and self.batch_counter == 6:
+                    jax.profiler.stop_trace()
+                    profiled = True
+
+                self.batch_counter += 1
+                if self.batch_counter % cfg.eval_every == 0:
+                    valid_mse = self._evaluate(valid_loader)
+                    logger.info(f"\rEpoch {epoch:2d}; batch {self.batch_counter:5d}; "
+                                f"train loss {total_loss / total_samples:.6f}; "
+                                f"valid mse {valid_mse:.6f}")
+                    if self.best_loss > valid_mse:
+                        ckpt.save_best(model_path, merge_params(self.trainable, self.frozen))
+                        self.best_loss = valid_mse
+
+            logger.info(f"Epoch {epoch:3d} done; train loss {total_loss / max(total_samples, 1):.6f}")
+            ckpt.save_last(model_path, self.trainable, self.opt_state,
+                           epoch=epoch + 1, batch_counter=self.batch_counter,
+                           best_loss=self.best_loss)
+            if self.batch_counter > cfg.max_batches:
+                break
+
+        second = int(time.perf_counter() - start_time)
+        logger.info(f"End of training! Time used {second // 3600}:{second % 3600 // 60}:{second % 60}.")
+
+    # ------------------------------------------------------------------
+    def test(self, test_data, model_path):
+        logger = self.logger
+        logger.info("Start to test.")
+        params = ckpt.restore_best(model_path, merge_params(self.trainable, self.frozen))
+        trainable, frozen = split_frozen(params)
+        trainable = jax.device_put(trainable, self.rep)
+        frozen = jax.device_put(frozen, self.rep)
+        loader = self._loader(test_data)
+        mse = evaluate_mse(self.eval_step, trainable, frozen,
+                           self._device_batches(loader))
+        logger.info(f"Test end, test mse is {mse:.6f}")
+        return mse
