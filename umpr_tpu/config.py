@@ -66,6 +66,10 @@ class Config:
     use_pallas = True  # use the fused Pallas GRU kernel on TPU (False = pure lax.scan).
     mesh_shape = []  # explicit device mesh, e.g. [8] for 8-way DP; [] = all devices on one axis.
     resume_path = ""  # optional checkpoint dir to resume training from (params + opt state).
+    rnet_pretrained = ""  # optional R-Net warm-start checkpoint from umpr_tpu.pretrain.rnet
+                          # (the analogue of RNet(pretrained=...) at reference model.py:30-34).
+    vgg16_weights = ""  # optional converted torchvision VGG16 checkpoint dir
+                        # (tools/convert_vgg16.py; reference model.py:204-207 downloads it).
     profile_dir = ""  # if set, write a jax.profiler trace of a few steps here.
     cache_dataset = True  # cache the packed dataset arrays next to the CSVs (reference: main.py:66-73).
 

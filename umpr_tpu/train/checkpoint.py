@@ -47,6 +47,11 @@ def restore_pytree(path, like):
             "(model/optimizer structure changed?)")
     with np.load(os.path.join(path, "arrays.npz")) as z:
         new_leaves = [z[f"leaf_{i:05d}"] for i in range(len(leaves))]
+    for i, (old, new) in enumerate(zip(leaves, new_leaves)):
+        if tuple(np.shape(old)) != tuple(new.shape):
+            raise ValueError(
+                f"checkpoint at {path}: leaf {i} has shape {new.shape}, "
+                f"expected {np.shape(old)} (model size mismatch?)")
     new_leaves = [jax.numpy.asarray(nl) for nl in new_leaves]
     return jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(like), new_leaves)
 

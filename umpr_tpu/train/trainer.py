@@ -45,6 +45,27 @@ class Trainer:
 
         key = jax.random.PRNGKey(config.seed)
         params = init_umpr(key, self.dims, word2vec.embedding)
+        if config.rnet_pretrained:
+            # Warm-start the R-Net from the pretrainer's checkpoint
+            # (reference analogue: RNet(pretrained=...), model.py:30-34 --
+            # load failures are swallowed with a message there; same here).
+            try:
+                params["review_net"]["rnet"] = ckpt.restore_pytree(
+                    config.rnet_pretrained, params["review_net"]["rnet"])
+                logger.info(f"Loaded R-Net pre-trained weights from "
+                            f'"{config.rnet_pretrained}"')
+            except Exception:
+                logger.info(f"Failed to load R-Net pre-trained weights from "
+                            f'"{config.rnet_pretrained}"')
+        if config.vgg16_weights and not config.review_net_only:
+            try:
+                params["visual_net"]["vgg16"] = ckpt.restore_pytree(
+                    config.vgg16_weights, params["visual_net"]["vgg16"])
+                logger.info(f"Loaded VGG16 pretrained weights from "
+                            f'"{config.vgg16_weights}"')
+            except Exception:
+                logger.info(f"Failed to load VGG16 weights from "
+                            f'"{config.vgg16_weights}"')
         self.trainable, self.frozen = split_frozen(params)
         self.trainable = jax.device_put(self.trainable, self.rep)
         self.frozen = jax.device_put(self.frozen, self.rep)
