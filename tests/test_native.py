@@ -1,0 +1,86 @@
+"""Native C++ tokenizer: byte-exact equivalence with the python path,
+including unicode fallbacks, plus a speed sanity check."""
+
+import time
+
+import numpy as np
+import pytest
+
+from umpr_tpu.text.vocab import Word2vec
+
+
+class FakeW2v(Word2vec):
+    def __init__(self, words):
+        self.vocab = [self.PAD, self.UNK, self.NUM] + list(words)
+        self.word2index = {w: i for i, w in enumerate(self.vocab)}
+        self.embedding = np.zeros((len(self.vocab), 4), np.float32)
+        self.word_dim = 4
+
+
+WORDS = ("great sound quality album terrible loved fantastic song guitar "
+         "drums vocals melody lyric beat bass mix production classic modern "
+         "other words here too").split()
+
+DOCS = [
+    "great sound quality album loved melody. terrible mix production bass guitar drums",
+    "fantastic song guitar drums vocals melody",
+    "short one. also small. loved fantastic song guitar drums vocals again",
+    ". . leading dots. sound quality album loved beat bass mix .",
+    "",
+    "numbers 123 456 here 89 count loved sound",
+    "unknown tokens xyzzy plugh foobar quux sound melody",
+    "tab\tseparated  and   multi spaced sound quality loved album",
+    "café unicode résumé doc sound quality loved album extra",  # -> python path
+    "digits ²³ weird sound quality loved album extra",              # unicode digits
+]
+
+
+def normalize(result):
+    return [[list(map(int, s)) for s in doc] for doc in result]
+
+
+def python_tokenize(docs, w2v, max_len, sentence_level, keep_gt=5):
+    out = []
+    for x in docs:
+        parts = (str(x).strip(". ").split(".") if sentence_level else [str(x)])
+        sents = []
+        for sent in parts:
+            ids = w2v.sent2indices(sent)[:max_len]
+            if len(ids) > keep_gt:
+                sents.append(ids)
+        out.append(sents)
+    return out
+
+
+@pytest.mark.parametrize("sentence_level", [True, False])
+@pytest.mark.parametrize("max_len", [20, 7])
+def test_native_matches_python(sentence_level, max_len):
+    from umpr_tpu.native import fast_tokenize_reviews
+    w2v = FakeW2v(WORDS)
+    fast = fast_tokenize_reviews(DOCS, w2v, max_len, sentence_level)
+    if fast is None:
+        pytest.skip("native toolchain unavailable")
+    ref = python_tokenize(DOCS, w2v, max_len, sentence_level)
+    assert normalize(fast) == ref
+
+
+def test_native_speedup():
+    from umpr_tpu.native import fast_tokenize_reviews
+    w2v = FakeW2v(WORDS)
+    rng = np.random.default_rng(0)
+    docs = [". ".join(" ".join(rng.choice(WORDS, size=rng.integers(6, 15)))
+                      for _ in range(rng.integers(2, 6)))
+            for _ in range(3000)]
+
+    if fast_tokenize_reviews(docs[:10], w2v, 20, True) is None:  # warm build
+        pytest.skip("native toolchain unavailable")
+    t0 = time.perf_counter()
+    fast = fast_tokenize_reviews(docs, w2v, 20, True)
+    t_fast = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ref = python_tokenize(docs, w2v, 20, True)
+    t_py = time.perf_counter() - t0
+
+    assert normalize(fast) == ref
+    assert t_fast < t_py, f"native ({t_fast:.3f}s) not faster than python ({t_py:.3f}s)"

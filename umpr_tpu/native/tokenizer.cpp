@@ -1,0 +1,136 @@
+// Fast review tokenizer: the host-side hot spot of dataset construction
+// (reference src/dataset.py:21-27 runs a python tokenize+dict-lookup over
+// every review; minutes-scale on the 8M-review Yelp corpus).
+//
+// Exact semantics contract (enforced by tests/test_native.py against the
+// python path): for a pure-ASCII document,
+//   parts = doc.strip('. ').split('.')        (sentence level)  |  [doc]
+//   tokens = part.replace('.', ' ').strip().split()   (ASCII whitespace)
+//   id = 2 if token is all ASCII digits else vocab.get(token, 1)
+//   sentence kept iff len(ids[:max_len]) > keep_gt (5 in the reference)
+// Documents containing any non-ASCII byte are routed through the python
+// path by the wrapper, so unicode isdigit()/split() subtleties never reach
+// this code.
+//
+// Build: g++ -O3 -shared -fPIC (see umpr_tpu/native/__init__.py); plain C
+// ABI + ctypes, no pybind11.
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Vocab {
+    std::unordered_map<std::string, int32_t> map;
+};
+
+inline bool is_space(unsigned char c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\v';
+}
+
+inline bool all_digits(const char* s, size_t n) {
+    if (n == 0) return false;
+    for (size_t i = 0; i < n; i++)
+        if (s[i] < '0' || s[i] > '9') return false;
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// words: '\n'-separated UTF-8 word list; ids are 3 + line index (PAD/UNK/NUM
+// reserved), matching Word2vec's layout.
+void* vocab_build(const char* words, int64_t len) {
+    auto* v = new Vocab();
+    int32_t next_id = 3;
+    const char* p = words;
+    const char* end = words + len;
+    while (p < end) {
+        const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+        size_t n = nl ? static_cast<size_t>(nl - p) : static_cast<size_t>(end - p);
+        v->map.emplace(std::string(p, n), next_id++);
+        p += n + 1;
+    }
+    return v;
+}
+
+void vocab_free(void* vp) { delete static_cast<Vocab*>(vp); }
+
+// Tokenize n_docs documents stored concatenated in buf with byte offsets
+// doc_offsets[0..n_docs].  Outputs:
+//   out_ids           flat token ids, sentence-major
+//   out_sent_starts   per-sentence start index into out_ids (n_sents + 1,
+//                     the final entry is the total id count)
+//   out_doc_counts    surviving-sentence count per document
+// Returns total sentence count, or -1 if either capacity is exceeded.
+int64_t tokenize_docs(void* vp, const char* buf, const int64_t* doc_offsets,
+                      int64_t n_docs, int32_t max_len, int32_t sentence_level,
+                      int32_t keep_gt, int32_t* out_ids,
+                      int64_t* out_sent_starts, int64_t* out_doc_counts,
+                      int64_t cap_ids, int64_t cap_sents) {
+    const Vocab& vocab = *static_cast<Vocab*>(vp);
+    int64_t n_ids = 0, n_sents = 0;
+    std::vector<int32_t> sent;
+    sent.reserve(max_len);
+
+    for (int64_t d = 0; d < n_docs; d++) {
+        const char* doc = buf + doc_offsets[d];
+        const char* doc_end = buf + doc_offsets[d + 1];
+        // python str.strip('. '): trim '.' and ' ' from both ends
+        while (doc < doc_end && (*doc == '.' || *doc == ' ')) doc++;
+        while (doc_end > doc && (doc_end[-1] == '.' || doc_end[-1] == ' ')) doc_end--;
+
+        int64_t kept = 0;
+        const char* part = doc;
+        while (part <= doc_end) {
+            const char* part_end;
+            if (sentence_level) {
+                part_end = static_cast<const char*>(
+                    memchr(part, '.', doc_end - part));
+                if (!part_end) part_end = doc_end;
+            } else {
+                part_end = doc_end;
+            }
+
+            // tokenize part: split on ASCII whitespace ('.' can't appear --
+            // it's the separator; at review level a '.' acts as whitespace
+            // per sent2indices' replace('.', ' '))
+            sent.clear();
+            const char* t = part;
+            while (t < part_end && static_cast<int32_t>(sent.size()) < max_len) {
+                while (t < part_end && (is_space(*t) || *t == '.')) t++;
+                const char* tok = t;
+                while (t < part_end && !is_space(*t) && *t != '.') t++;
+                if (t == tok) continue;
+                size_t n = t - tok;
+                if (all_digits(tok, n)) {
+                    sent.push_back(2);  // <NUM>
+                } else {
+                    auto it = vocab.map.find(std::string(tok, n));
+                    sent.push_back(it == vocab.map.end() ? 1 : it->second);
+                }
+            }
+            if (static_cast<int32_t>(sent.size()) > keep_gt) {
+                if (n_sents + 1 >= cap_sents ||
+                    n_ids + static_cast<int64_t>(sent.size()) > cap_ids)
+                    return -1;
+                out_sent_starts[n_sents++] = n_ids;
+                memcpy(out_ids + n_ids, sent.data(), sent.size() * sizeof(int32_t));
+                n_ids += sent.size();
+                kept++;
+            }
+
+            if (!sentence_level || part_end == doc_end) break;
+            part = part_end + 1;
+        }
+        out_doc_counts[d] = kept;
+    }
+    out_sent_starts[n_sents] = n_ids;
+    return n_sents;
+}
+
+}  // extern "C"
