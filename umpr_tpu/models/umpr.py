@@ -43,10 +43,13 @@ class ModelDims:
     loss_v_rate: float = 0.1
     review_net_only: bool = False
     use_pallas: bool = False
+    compute_dtype: str = "float32"  # 'bfloat16' halves MXU time + HBM traffic;
+                                    # params stay f32 (mixed precision)
 
     @classmethod
     def from_config(cls, config, use_pallas=None):
         return cls(
+            compute_dtype=config.compute_dtype,
             gru_size=config.gru_size,
             self_atte_size=config.self_atte_size,
             kernel_count=config.kernel_count,
@@ -103,6 +106,15 @@ def umpr_forward(params, batch, dims: ModelDims, train=False, dropout_rng=None):
     exists = masking.exists_mask(Sb, Lb, S, L)
     ui_exists = masking.exists_mask(batch["ui_counts"].max(), ui_len.max(), S_ui, L)
 
+    dtype = jnp.dtype(dims.compute_dtype)
+    if dtype != jnp.float32:
+        # Mixed precision: cast params + activations once; the loss is
+        # computed in f32 below.  bf16 keeps MXU matmuls at 2x rate and
+        # halves activation HBM traffic.
+        params = jax.tree.map(
+            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            params)
+
     emb = params["embedding"]
     u_emb = emb[u_tok]     # (B, S, L, E)
     i_emb = emb[i_tok]
@@ -113,6 +125,7 @@ def umpr_forward(params, batch, dims: ModelDims, train=False, dropout_rng=None):
 
     if dims.review_net_only:
         prediction = jax.nn.relu(linear(params["linear_fusion"], rn))[:, 0]
+        prediction = prediction.astype(jnp.float32)
         loss = _masked_mse(prediction, labels, mask)
         return prediction, loss, {"loss_r": loss}
 
@@ -124,9 +137,12 @@ def umpr_forward(params, batch, dims: ModelDims, train=False, dropout_rng=None):
 
     fused = jnp.concatenate([rn, final_pos, final_neg], axis=-1)
     prediction = jax.nn.relu(linear(params["linear_fusion"], fused))[:, 0]
+    prediction = prediction.astype(jnp.float32)
     loss_r = _masked_mse(prediction, labels, mask)
     # Cross-batch (V, B) @ (B, V) visual loss; dead samples zeroed via prefer.
     m = mask[:, None]
+    prefer_pos, prefer_neg, pos_match, neg_match = (
+        x.astype(jnp.float32) for x in (prefer_pos, prefer_neg, pos_match, neg_match))
     loss_v = jnp.mean((prefer_pos * m).T @ pos_match + (prefer_neg * m).T @ neg_match)
     loss = loss_r + dims.loss_v_rate * loss_v
     return prediction, loss, {"loss_r": loss_r, "loss_v": loss_v}

@@ -115,8 +115,9 @@ def visual_net(p, images_u8, c_u, c_i, train=False, dropout_rng=None):
     final_neg, each (B, view_size).
     """
     B, V, P = images_u8.shape[:3]
+    compute_dtype = p["linear"]["kernel"].dtype  # follows mixed-precision cast
     images = images_u8.reshape((B * V * P,) + images_u8.shape[3:])
-    images = images.astype(jnp.float32) / 255.0  # on-device /255, NO mean/std norm
+    images = images.astype(compute_dtype) / 255.0  # on-device /255, NO mean/std norm
     img_repr = vgg16(p["vgg16"], images, train, dropout_rng)
     img_repr = img_repr.reshape(B, V, P, -1).mean(axis=2)  # eq. 10
 

@@ -98,6 +98,12 @@ def _bigru_kernel(xg_ref, len_ref, whh_ref, bhh_ref, y_ref, h_scr, *, H, L):
 def _bigru_pallas_fwd_impl(params, x, lengths):
     N, L, E = x.shape
     H = params["fwd"]["w_hh"].shape[0]
+    # The kernel computes in f32 (scratch/h state); accept bf16 inputs from
+    # the mixed-precision path by promoting here and casting the output back.
+    out_dtype = x.dtype
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+        params = jax.tree.map(lambda a: a.astype(jnp.float32), params)
 
     xg_f = x @ params["fwd"]["w_ih"] + params["fwd"]["bias_ih"]
     xg_b = x[:, ::-1] @ params["bwd"]["w_ih"] + params["bwd"]["bias_ih"]
@@ -135,7 +141,8 @@ def _bigru_pallas_fwd_impl(params, x, lengths):
     # Un-flip the backward half (y_cat[:, tau, H:] is h_b at position
     # L-1-tau); the reshape back to (N, L, 2H) is free.
     y_cat = y_cat.reshape(N, L, 2 * H)
-    return jnp.concatenate([y_cat[..., :H], y_cat[:, ::-1, H:]], axis=-1)
+    y = jnp.concatenate([y_cat[..., :H], y_cat[:, ::-1, H:]], axis=-1)
+    return y.astype(out_dtype)
 
 
 @jax.custom_vjp

@@ -92,7 +92,23 @@ class Word2vec:
     # ------------------------------------------------------------------
     @staticmethod
     def _read_glove(emb_path):
-        """Parse a GloVe text file: `word v1 v2 ... vD` per line."""
+        """Parse a GloVe text file: `word v1 v2 ... vD` per line.
+
+        Primary path uses pandas' C csv parser (the reference's python loop
+        over 400k lines is its host hot spot #1, word2vec.py:46-52); falls
+        back to a python loop for irregular files (quotes, stray
+        whitespace words)."""
+        try:
+            import pandas as pd
+            df = pd.read_csv(emb_path, sep=" ", header=None, quoting=3,
+                             na_filter=False, dtype={0: str}, engine="c")
+            words = df.iloc[:, 0].tolist()
+            vecs = df.iloc[:, 1:].to_numpy(dtype=np.float32)
+            if not np.isfinite(vecs).all():
+                raise ValueError("non-numeric vector entries")
+            return words, vecs
+        except Exception:
+            pass
         words = []
         rows = []
         with open(emb_path, encoding="utf-8") as f:

@@ -9,10 +9,12 @@ mesh-sharded batches, host-side prefetch, device double buffering.
 
 from __future__ import annotations
 
+import sys
 import time
 
 import jax
 import numpy as np
+from tqdm import tqdm
 
 from umpr_tpu.data.loader import BatchLoader, prefetch_to_device
 from umpr_tpu.models.umpr import ModelDims, init_umpr
@@ -100,9 +102,16 @@ class Trainer:
         return prefetch_to_device(iter(loader), self.dp,
                                   depth=self.config.prefetch_depth)
 
+    def _progress(self, it, desc, total):
+        """tqdm progress like the reference (main.py:31, evaluate.py:10);
+        silent when stderr is not a terminal."""
+        return tqdm(it, desc=desc, total=total, leave=False,
+                    disable=not sys.stderr.isatty())
+
     def _evaluate(self, loader):
         return evaluate_mse(self.eval_step, self.trainable, self.frozen,
-                            self._device_batches(loader))
+                            self._progress(self._device_batches(loader),
+                                           "Evaluate", len(loader)))
 
     # ------------------------------------------------------------------
     def fit(self, train_data, valid_data, model_path):
@@ -118,7 +127,9 @@ class Trainer:
             lr = lr_at_epoch(cfg.learning_rate, cfg.lr_decay, epoch)
             train_loader = self._loader(train_data, shuffle=True, seed=cfg.seed + epoch)
             total_loss, total_samples = 0.0, 0.0
-            for batch in self._device_batches(train_loader):
+            for batch in self._progress(self._device_batches(train_loader),
+                                        f"Training epoch {epoch}",
+                                        len(train_loader)):
                 if cfg.profile_dir and not profiled and self.batch_counter == 2:
                     jax.profiler.start_trace(cfg.profile_dir)
                 n_real = float(np.asarray(batch["sample_mask"]).sum())
