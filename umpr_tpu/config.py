@@ -63,6 +63,9 @@ class Config:
     max_batches = 50000  # hard stop on total batches (reference hard-codes 50000, main.py:56).
     prefetch_depth = 2  # host pipeline look-ahead batches (device double buffering).
     data_workers = 0  # image-decode worker threads (0 = synchronous).
+    photo_cache_mb = 2048  # decoded-photo LRU cache (0 disables); item photos
+                           # recur in every sample of that item, so the cache
+                           # removes the JPEG-decode bottleneck after epoch 1.
     use_pallas = True  # use the fused Pallas GRU kernel on TPU (False = pure lax.scan).
     mesh_shape = []  # explicit device mesh, e.g. [8] for 8-way DP; [] = all devices on one axis.
     resume_path = ""  # optional checkpoint dir to resume training from (params + opt state).

@@ -38,11 +38,48 @@ def get_image(path, resize=(224, 224)):
         return np.zeros((resize[1], resize[0], 3), dtype=np.uint8)
 
 
-def load_photo_batch(paths, resize=(224, 224), executor=None):
+class PhotoCache:
+    """LRU cache of decoded+resized photos.
+
+    UMPR reuses each item's photos in EVERY sample of that item (reference
+    dataset.py:87-119), so after one pass the working set is just the unique
+    photo count; caching decoded uint8 tensors (~150 KB each at 224px)
+    removes the JPEG-decode host bottleneck entirely on later epochs.
+    The reference re-decodes from disk every batch (dataset.py:146-151).
+    """
+
+    def __init__(self, capacity_bytes=2 << 30):
+        from collections import OrderedDict
+        self._d = OrderedDict()
+        self._capacity = capacity_bytes
+        self._bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, path, resize):
+        key = path
+        img = self._d.get(key)
+        if img is not None:
+            self._d.move_to_end(key)
+            self.hits += 1
+            return img
+        self.misses += 1
+        img = get_image(path, resize)
+        self._bytes += img.nbytes
+        self._d[key] = img
+        while self._bytes > self._capacity and self._d:
+            _, old = self._d.popitem(last=False)
+            self._bytes -= old.nbytes
+        return img
+
+
+def load_photo_batch(paths, resize=(224, 224), executor=None, cache=None):
     """paths: (B, V, P) array of path strings -> (B, V, P, H, W, 3) uint8."""
     b, v, p = paths.shape
     flat = paths.reshape(-1)
-    if executor is not None:
+    if cache is not None:
+        imgs = [cache.get(s, resize) for s in flat]
+    elif executor is not None:
         imgs = list(executor.map(lambda s: get_image(s, resize), flat))
     else:
         imgs = [get_image(s, resize) for s in flat]

@@ -22,12 +22,13 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-from umpr_tpu.data.images import load_photo_batch
+from umpr_tpu.data.images import load_photo_batch, PhotoCache
 
 
 class BatchLoader:
     def __init__(self, dataset, batch_size, shuffle=False, ignore_photos=True,
-                 seed=0, resize=(224, 224), workers=0, pad_to_full=True):
+                 seed=0, resize=(224, 224), workers=0, pad_to_full=True,
+                 photo_cache=None, photo_cache_bytes=2 << 30):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -36,6 +37,9 @@ class BatchLoader:
         self.pad_to_full = pad_to_full
         self._rng = np.random.default_rng(seed)
         self._executor = ThreadPoolExecutor(max_workers=workers) if workers > 0 else None
+        if photo_cache is None and not ignore_photos and photo_cache_bytes > 0:
+            photo_cache = PhotoCache(photo_cache_bytes)
+        self.photo_cache = photo_cache
 
     def __len__(self):
         n = len(self.ds)
@@ -68,7 +72,8 @@ class BatchLoader:
             if n_real < b:
                 paths = paths.copy()
                 paths[n_real:] = ""
-            batch["photos"] = load_photo_batch(paths, self.resize, self._executor)
+            batch["photos"] = load_photo_batch(paths, self.resize, self._executor,
+                                               self.photo_cache)
         return batch
 
     def __iter__(self):

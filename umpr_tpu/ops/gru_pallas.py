@@ -1,31 +1,34 @@
-"""Fused Pallas TPU kernel for the masked bidirectional GRU.
+"""Fused Pallas TPU kernels for the masked bidirectional GRU (fwd + bwd).
 
-Design (see /opt/skills/guides/pallas_guide.md):
+Forward design (see /opt/skills/guides/pallas_guide.md):
 
 - Input projections for the whole sequence are two large (N*L, E) @ (E, 3H)
   MXU matmuls done by XLA outside the kernel (the backward direction's on a
-  time-flipped copy of x), then gate-interleaved into one (N, L, 6H) block
-  with column layout [r_f r_b | z_f z_b | n_f n_b].
+  time-flipped copy of x), then gate-interleaved into one (N, L*6H) block
+  with column layout [r_f r_b | z_f z_b | n_f n_b] per timestep.
 - BOTH directions run in the SAME time loop: the backward direction is
-  expressed in reversed time (step tau processes original position L-1-tau),
-  so the carried state is one (TILE_N, 2H) block and the recurrent matmul is
-  a single full-tile (TILE_N, 2H) @ (2H, 6H) MXU op per step against a
-  block-diagonal weight (for H=64 that is 128x128 @ 128x384 -- perfectly
-  aligned to the MXU/VPU lane width, unlike two separate H=64 halves).
-- The kernel tiles N (= batch*sentences); each program keeps its gate block
-  and hidden state entirely in VMEM across all L steps (no HBM traffic
-  between timesteps).  The time loop is fully unrolled (L is a small static
-  bound, 20 in UMPR).
+  expressed in reversed time (combined step tau processes original position
+  L-1-tau for the bwd lanes), so the carried state is one (R, 2H) block and
+  the recurrent matmul is a single (R, 2H) @ (2H, 6H) MXU op per step
+  against a block-diagonal weight -- for H=64 that is fully lane-aligned
+  (128 and 384 wide), unlike two separate H=64 halves.
+- Grid = (N tiles, L timesteps), timestep fastest; Pallas streams the next
+  timestep's gate slice from HBM while the current one computes, and the
+  hidden state lives in a VMEM scratch that persists across the time steps
+  of each row tile.  Time is flattened into columns ((N, L*6H)) so the
+  per-step block is a clean column slice -- no transpose passes.
 - Variable-length masking reproduces cuDNN packed-sequence semantics
-  (umpr_tpu/ops/gru.py documents the exact contract): forward valid at
-  tau < len; backward (reversed time) valid at tau >= L - len, which makes
-  the backward direction start at each sequence's own last valid token.
-- Output y_cat[:, tau] = [h_f(tau) | h_b(L-1-tau)] is written as one aligned
-  (TILE_N, 2H) store; XLA un-flips the backward half outside.
+  (umpr_tpu/ops/gru.py documents the contract): forward lanes valid at
+  tau < len; backward lanes valid at tau >= L - len, which makes the
+  backward direction start at each sequence's own last valid token.
 
-Gradients: custom_vjp whose backward recomputes through the lax.scan path
-(identical numerics).  A handwritten backward kernel is a planned
-optimization.
+Backward: a second kernel sweeps the combined time axis in reverse,
+rematerializing the gates from the saved post-step states (one extra
+(R, 2H) @ (2H, 6H) matmul per step instead of storing gate tensors),
+accumulating dW_hh/db_hh in VMEM scratch across the sweep and emitting the
+per-step gate gradients dxg; the dx / dW_ih / db_ih contractions are large
+single MXU matmuls done by XLA outside.  Verified against jax.grad of the
+lax.scan path to ~1e-5 (tests/test_gru_pallas.py).
 """
 
 from __future__ import annotations
@@ -37,7 +40,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_N = 128
+MAX_ROWS = 768  # row-tile cap: keeps the fwd+bwd kernels inside the 16 MB VMEM budget
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"  # CI runs kernels interpreted on CPU
 
 
 def _interleave_gates(a, b, H):
@@ -60,107 +67,287 @@ def _block_diag_whh(w_f, w_b, H):
     return jnp.concatenate(cols, axis=1)
 
 
-def _bigru_kernel(xg_ref, len_ref, whh_ref, bhh_ref, y_ref, h_scr, *, H, L):
-    """One grid step == one timestep tau over the FULL batch.
+def _make_valid(lengths, tau, H, L, rows):
+    """(rows, 2H) f32 mask: fwd lanes valid at tau < len, bwd lanes at
+    original position L-1-tau < len.  Integer select + one compare
+    (Mosaic cannot select between i1 vectors)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 2 * H), 1)
+    eff_t = jnp.where(lane < H, tau, L - 1 - tau)
+    return eff_t < lengths  # bool
 
-    The grid axis is time: Pallas streams the (N, 1, 6H) gate slice for step
-    tau+1 from HBM while step tau computes (automatic double buffering), and
-    the (N, 2H) hidden state lives in a VMEM scratch that persists across
-    grid steps.  The recurrent matmul is (N, 2H) @ (2H, 6H) -- full batch
-    width, so Mosaic pipelines the row blocks through the MXU.
-    """
-    tau = pl.program_id(0)
 
-    @pl.when(tau == 0)
+# ----------------------------------------------------------------- forward
+def _fwd_kernel(xg_ref, len_ref, whh_ref, bhh_ref, y_ref, hs_ref, h_scr,
+                *, H, L, emit_hs):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
     def _():
         h_scr[:] = jnp.zeros_like(h_scr)
 
-    lengths = len_ref[:]          # (N, 1) int32
-    h = h_scr[:]                  # (N, 2H)
-    xg_t = xg_ref[:]              # (N, 6H) this timestep's gates
+    lengths = len_ref[:]          # (R, 1) int32
+    h = h_scr[:]                  # (R, 2H)
+    xg_t = xg_ref[:]              # (R, 6H)
     hg = jnp.dot(h, whh_ref[:], preferred_element_type=jnp.float32) + bhh_ref[:]
     r = jax.nn.sigmoid(xg_t[:, :2 * H] + hg[:, :2 * H])
     z = jax.nn.sigmoid(xg_t[:, 2 * H:4 * H] + hg[:, 2 * H:4 * H])
     ncand = jnp.tanh(xg_t[:, 4 * H:] + r * hg[:, 4 * H:])
     h_new = (1.0 - z) * ncand + z * h
 
-    # Effective original-time position per half: tau for the forward lanes,
-    # L-1-tau for the (time-reversed) backward lanes.  Integer select + one
-    # compare (Mosaic cannot select between i1 vectors).
-    lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
-    eff_t = jnp.where(lane < H, tau, L - 1 - tau)
-    valid = eff_t < lengths       # (N, 2H); bwd starts at len-1
+    valid = _make_valid(lengths, t, H, L, h.shape[0])
     h = jnp.where(valid, h_new, h)
     h_scr[:] = h
     y_ref[:] = jnp.where(valid, h_new, 0.0)
+    if emit_hs:
+        hs_ref[:] = h
 
 
-def _bigru_pallas_fwd_impl(params, x, lengths):
-    N, L, E = x.shape
-    H = params["fwd"]["w_hh"].shape[0]
-    # The kernel computes in f32 (scratch/h state); accept bf16 inputs from
-    # the mixed-precision path by promoting here and casting the output back.
-    out_dtype = x.dtype
-    if x.dtype != jnp.float32:
-        x = x.astype(jnp.float32)
-        params = jax.tree.map(lambda a: a.astype(jnp.float32), params)
-
-    xg_f = x @ params["fwd"]["w_ih"] + params["fwd"]["bias_ih"]
-    xg_b = x[:, ::-1] @ params["bwd"]["w_ih"] + params["bwd"]["bias_ih"]
-    # Flatten time into columns: (N, L*6H).  The per-timestep block is then
-    # a clean (N, 6H) column slice -- no transpose passes, block dims stay
-    # 8/128-aligned, and the reshape is a free bitcast on contiguous memory.
-    xg = _interleave_gates(xg_f, xg_b, H).reshape(N, L * 6 * H)
-
+def _pallas_forward(params, xg, lengths, N, L, H, emit_hs):
+    R = min(N, MAX_ROWS)
     w_blk = _block_diag_whh(params["fwd"]["w_hh"], params["bwd"]["w_hh"], H)
-    b_blk = _interleave_gates(params["fwd"]["bias_hh"], params["bwd"]["bias_hh"], H)
-
-    kernel = functools.partial(_bigru_kernel, H=H, L=L)
-    y_cat = pl.pallas_call(
+    b_blk = _interleave_gates(params["fwd"]["bias_hh"],
+                              params["bwd"]["bias_hh"], H).reshape(1, -1)
+    kernel = functools.partial(_fwd_kernel, H=H, L=L, emit_hs=emit_hs)
+    outs = pl.pallas_call(
         kernel,
-        grid=(L,),
+        grid=(pl.cdiv(N, R), L),
         in_specs=[
-            pl.BlockSpec((N, 6 * H), lambda t: (0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 6 * H), lambda i, t: (i, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((N, 2 * H), lambda t: (0, t),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, L * 2 * H), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((N, 2 * H), jnp.float32)],
+        out_specs=[
+            pl.BlockSpec((R, 2 * H), lambda i, t: (i, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 2 * H), lambda i, t: (i, t) if emit_hs else (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, L * 2 * H), jnp.float32),
+            jax.ShapeDtypeStruct((N, (L if emit_hs else 1) * 2 * H), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((R, 2 * H), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * N * L * 2 * H * 6 * H,
-            bytes_accessed=4 * N * L * 8 * H,
+            bytes_accessed=4 * N * L * (8 + (2 if emit_hs else 0)) * H,
             transcendentals=6 * N * L * H,
         ),
-        interpret=jax.default_backend() != "tpu",  # CI: interpreted on CPU
-    )(xg, lengths.astype(jnp.int32).reshape(N, 1), w_blk, b_blk.reshape(1, -1))
+        interpret=_interpret(),
+    )(xg, lengths.astype(jnp.int32).reshape(N, 1), w_blk, b_blk)
+    return outs  # (y_cat, hs_cat)
 
-    # Un-flip the backward half (y_cat[:, tau, H:] is h_b at position
-    # L-1-tau); the reshape back to (N, L, 2H) is free.
+
+def _build_xg(params, x, H):
+    xg_f = x @ params["fwd"]["w_ih"] + params["fwd"]["bias_ih"]
+    xg_b = x[:, ::-1] @ params["bwd"]["w_ih"] + params["bwd"]["bias_ih"]
+    N, L = x.shape[0], x.shape[1]
+    return _interleave_gates(xg_f, xg_b, H).reshape(N, L * 6 * H)
+
+
+def _unflip(y_cat, N, L, H):
+    """combined-time (N, L*2H) -> true-time (N, L, 2H)."""
     y_cat = y_cat.reshape(N, L, 2 * H)
-    y = jnp.concatenate([y_cat[..., :H], y_cat[:, ::-1, H:]], axis=-1)
-    return y.astype(out_dtype)
+    return jnp.concatenate([y_cat[..., :H], y_cat[:, ::-1, H:]], axis=-1)
+
+
+def _bigru_pallas_fwd_impl(params, x, lengths, emit_hs=False):
+    N, L, E = x.shape
+    H = params["fwd"]["w_hh"].shape[0]
+    out_dtype = x.dtype
+    if x.dtype != jnp.float32:
+        # kernels compute in f32; accept bf16 from the mixed-precision path
+        x = x.astype(jnp.float32)
+        params = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+    xg = _build_xg(params, x, H)
+    y_cat, hs_cat = _pallas_forward(params, xg, lengths, N, L, H, emit_hs)
+    y = _unflip(y_cat, N, L, H).astype(out_dtype)
+    return y, (xg, hs_cat)
+
+
+# ---------------------------------------------------------------- backward
+def _bwd_kernel(xg_ref, hs_prev_ref, dy_ref, len_ref, whh_ref, bhh_ref,
+                whh_t_ref, dxg_ref, dw_ref, db_ref, g_scr, dw_scr, db_scr,
+                *, H, L, N, R):
+    """Grid (i, t) with combined time tau = L-1-t (reverse sweep).
+
+    Rematerializes the gates from hs[tau-1], accumulates dW_hh/db_hh in
+    scratch across the sweep, emits dxg per step."""
+    t = pl.program_id(1)
+    tau = L - 1 - t
+
+    @pl.when(t == 0)
+    def _():
+        g_scr[:] = jnp.zeros_like(g_scr)
+        dw_scr[:] = jnp.zeros_like(dw_scr)
+        db_scr[:] = jnp.zeros_like(db_scr)
+
+    lengths = len_ref[:]
+    rows = g_scr.shape[0]
+    # Rows beyond N (the last tile's padding) read garbage blocks; their
+    # output rows are clipped on write, but the dW/db accumulations would
+    # silently include them -- mask them out of everything.
+    real = ((jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+             + pl.program_id(0) * R) < N)
+    # h before this step: hs[tau-1], or zeros at tau == 0.  Garbage (padded
+    # rows / undefined blocks) may be NaN, so masking must be a select --
+    # 0 * NaN is NaN.
+    h_prev = jnp.where(real & (tau > 0), hs_prev_ref[:], 0.0)
+
+    xg_t = xg_ref[:]
+    hg = jnp.dot(h_prev, whh_ref[:], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST) + bhh_ref[:]
+    hn_lin = hg[:, 4 * H:]
+    r = jax.nn.sigmoid(xg_t[:, :2 * H] + hg[:, :2 * H])
+    z = jax.nn.sigmoid(xg_t[:, 2 * H:4 * H] + hg[:, 2 * H:4 * H])
+    n = jnp.tanh(xg_t[:, 4 * H:] + r * hn_lin)
+
+    valid = _make_valid(lengths, tau, H, L, rows) & real  # (R, 2H) bool
+    g = g_scr[:] + jnp.where(valid, dy_ref[:], 0.0)
+
+    dz = g * (h_prev - n)
+    dn_pre = g * (1.0 - z) * (1.0 - n * n)
+
+    # mask gate grads with selects (invalid steps and padded rows may hold
+    # NaN garbage): invalid steps contribute nothing
+    dn_pre_m = jnp.where(valid, dn_pre, 0.0)
+    dhn = jnp.where(valid, dn_pre * r, 0.0)
+    dr_pre = jnp.where(valid, dn_pre * hn_lin * r * (1.0 - r), 0.0)
+    dz_pre = jnp.where(valid, dz * z * (1.0 - z), 0.0)
+
+    dxg_ref[:] = jnp.concatenate([dr_pre, dz_pre, dn_pre_m], axis=-1)
+    ghh = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)  # (R, 6H)
+
+    # dh_prev = g*z + ghh @ W^T  on valid lanes; pass-through elsewhere
+    dh = g * z + jnp.dot(ghh, whh_t_ref[:], preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+    g_scr[:] = jnp.where(valid, dh, g)
+
+    dw_scr[0] += jax.lax.dot_general(
+        h_prev, ghh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    db_scr[0] += jnp.sum(ghh, axis=0, keepdims=True)
+
+    @pl.when(t == L - 1)
+    def _():
+        dw_ref[:] = dw_scr[:]
+        db_ref[:] = db_scr[:]
+
+
+def _pallas_backward(params, xg, hs_cat, dy_cat, lengths, N, L, H):
+    R = min(N, MAX_ROWS)
+    n_tiles = pl.cdiv(N, R)
+    w_blk = _block_diag_whh(params["fwd"]["w_hh"], params["bwd"]["w_hh"], H)
+    b_blk = _interleave_gates(params["fwd"]["bias_hh"],
+                              params["bwd"]["bias_hh"], H).reshape(1, -1)
+    kernel = functools.partial(_bwd_kernel, H=H, L=L, N=N, R=R)
+    # hs_prev block: combined time tau-1 = L-t-2, clamped at 0 (the tau==0
+    # step multiplies it away)
+    dxg, dw_part, db_part = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, L),
+        in_specs=[
+            pl.BlockSpec((R, 6 * H), lambda i, t: (i, L - 1 - t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 2 * H), lambda i, t: (i, jnp.maximum(L - t - 2, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 2 * H), lambda i, t: (i, L - 1 - t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, 6 * H), lambda i, t: (i, L - 1 - t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * H, 6 * H), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 6 * H), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, L * 6 * H), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 2 * H, 6 * H), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, 6 * H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, 2 * H), jnp.float32),
+            pltpu.VMEM((1, 2 * H, 6 * H), jnp.float32),
+            pltpu.VMEM((1, 1, 6 * H), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * N * L * 2 * H * 6 * H,
+            bytes_accessed=4 * N * L * 16 * H,
+            transcendentals=6 * N * L * H,
+        ),
+        interpret=_interpret(),
+    )(xg, hs_cat, dy_cat, lengths.astype(jnp.int32).reshape(N, 1),
+      w_blk, b_blk, w_blk.T)
+    return dxg, dw_part.sum(axis=0), db_part.sum(axis=0)[0]
+
+
+def _deinterleave(cat, H):
+    """[..., 6H] laid out [r_f r_b z_f z_b n_f n_b] -> two [..., 3H]."""
+    f = jnp.concatenate([cat[..., 0:H], cat[..., 2 * H:3 * H],
+                         cat[..., 4 * H:5 * H]], axis=-1)
+    b = jnp.concatenate([cat[..., H:2 * H], cat[..., 3 * H:4 * H],
+                         cat[..., 5 * H:6 * H]], axis=-1)
+    return f, b
 
 
 @jax.custom_vjp
 def bigru_pallas(params, x, lengths):
-    return _bigru_pallas_fwd_impl(params, x, lengths)
+    """Drop-in equal to bigru_scan (umpr_tpu/ops/gru.py): (N, L, E) ->
+    (N, L, 2H) with packed-sequence masking semantics."""
+    y, _ = _bigru_pallas_fwd_impl(params, x, lengths)
+    return y
 
 
-def _fwd(params, x, lengths):
-    return _bigru_pallas_fwd_impl(params, x, lengths), (params, x, lengths)
+def _vjp_fwd(params, x, lengths):
+    y, (xg, hs_cat) = _bigru_pallas_fwd_impl(params, x, lengths, emit_hs=True)
+    return y, (params, x, lengths, xg, hs_cat)
 
 
-def _bwd(res, dy):
-    """Backward via the scan path (identical numerics to the kernel)."""
-    from umpr_tpu.ops.gru import bigru_scan
-    params, x, lengths = res
-    _, vjp = jax.vjp(lambda p, xx: bigru_scan(p, xx, lengths), params, x)
-    dparams, dx = vjp(dy)
-    return dparams, dx, None
+def _vjp_bwd(res, dy):
+    params, x, lengths, xg, hs_cat = res
+    in_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    p32 = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+    N, L, E = x.shape
+    H = params["fwd"]["w_hh"].shape[0]
+
+    # consumer grads -> combined-time layout (the unflip is an involution)
+    dy = dy.astype(jnp.float32)
+    dy_cat = jnp.concatenate([dy[..., :H], dy[:, ::-1, H:]], axis=-1)
+    dy_cat = dy_cat.reshape(N, L * 2 * H)
+
+    dxg_cat, dw_blk, db_blk = _pallas_backward(
+        p32, xg, hs_cat, dy_cat, lengths, N, L, H)
+
+    # unpack recurrent-weight grads from the block-diagonal accumulator
+    def blk_f(g):
+        return dw_blk[0:H, 2 * g * H:(2 * g + 1) * H]
+    def blk_b(g):
+        return dw_blk[H:2 * H, (2 * g + 1) * H:(2 * g + 2) * H]
+    dw_hh_f = jnp.concatenate([blk_f(g) for g in range(3)], axis=1)
+    dw_hh_b = jnp.concatenate([blk_b(g) for g in range(3)], axis=1)
+    db_hh_f, db_hh_b = _deinterleave(db_blk, H)
+
+    # input-projection grads: large single MXU contractions in XLA
+    dxg = dxg_cat.reshape(N, L, 6 * H)
+    dxg_f, dxg_b_rev = _deinterleave(dxg, H)  # bwd half is in combined time
+    x_rev = x32[:, ::-1]
+    dx = dxg_f @ p32["fwd"]["w_ih"].T + (dxg_b_rev @ p32["bwd"]["w_ih"].T)[:, ::-1]
+    dw_ih_f = jnp.einsum("nle,nlg->eg", x32, dxg_f)
+    dw_ih_b = jnp.einsum("nle,nlg->eg", x_rev, dxg_b_rev)
+    db_ih_f = dxg_f.sum(axis=(0, 1))
+    db_ih_b = dxg_b_rev.sum(axis=(0, 1))
+
+    dparams = {
+        "fwd": {"w_ih": dw_ih_f, "w_hh": dw_hh_f,
+                "bias_ih": db_ih_f, "bias_hh": db_hh_f},
+        "bwd": {"w_ih": dw_ih_b, "w_hh": dw_hh_b,
+                "bias_ih": db_ih_b, "bias_hh": db_hh_b},
+    }
+    dparams = jax.tree.map(
+        lambda g, p: g.astype(p.dtype), dparams,
+        {k: params[k] for k in ("fwd", "bwd")})
+    return dparams, dx.astype(in_dtype), None
 
 
-bigru_pallas.defvjp(_fwd, _bwd)
+bigru_pallas.defvjp(_vjp_fwd, _vjp_bwd)

@@ -94,9 +94,15 @@ class Trainer:
     # ------------------------------------------------------------------
     def _loader(self, dataset, shuffle=False, seed=0):
         cfg = self.config
+        if not hasattr(self, "_photo_cache"):
+            from umpr_tpu.data.images import PhotoCache
+            self._photo_cache = (PhotoCache(cfg.photo_cache_mb << 20)
+                                 if cfg.photo_cache_mb > 0 else None)
         return BatchLoader(dataset, cfg.batch_size, shuffle=shuffle,
                            ignore_photos=cfg.review_net_only, seed=seed,
-                           workers=cfg.data_workers)
+                           workers=cfg.data_workers,
+                           photo_cache=self._photo_cache,
+                           photo_cache_bytes=cfg.photo_cache_mb << 20)
 
     def _device_batches(self, loader):
         return prefetch_to_device(iter(loader), self.dp,
