@@ -32,11 +32,19 @@ def load_split(name, csv_path, photo_json, photo_dir, w2v, config, logger):
 def main():
     config = Config()
 
+    import jax
     if config.device == "cpu":
         # Must happen before first backend use; overrides any TPU plugin that
         # force-registered itself (see tests/conftest.py note).
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    try:
+        # Persistent XLA compilation cache: the jitted train step can take
+        # minutes to compile on remote-compile setups; cache across runs.
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     if config.test_only:
         if not os.path.exists(config.model_path):

@@ -1,0 +1,107 @@
+"""Checkpoint roundtrip (params + optimizer state), loader shuffling /
+dead-sample padding, and photo-cache behavior."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from umpr_tpu.models.umpr import ModelDims, init_umpr
+from umpr_tpu.train import checkpoint as ckpt
+from umpr_tpu.train.optim import make_optimizer, split_frozen, merge_params
+from umpr_tpu.data.dataset import UMPRDataset
+from umpr_tpu.data.loader import BatchLoader
+
+
+def small_dataset(n=10, S=4, L=8, S_ui=2, V=1, P=1):
+    rng = np.random.default_rng(0)
+    return UMPRDataset(
+        u_tokens=rng.integers(0, 20, (n, S, L)).astype(np.int32),
+        u_lengths=rng.integers(1, L + 1, (n, S)).astype(np.int32),
+        u_counts=rng.integers(1, S + 1, n).astype(np.int32),
+        i_tokens=rng.integers(0, 20, (n, S, L)).astype(np.int32),
+        i_lengths=rng.integers(1, L + 1, (n, S)).astype(np.int32),
+        i_counts=rng.integers(1, S + 1, n).astype(np.int32),
+        ui_tokens=rng.integers(0, 20, (n, S_ui, L)).astype(np.int32),
+        ui_lengths=rng.integers(1, L + 1, (n, S_ui)).astype(np.int32),
+        ui_counts=rng.integers(1, S_ui + 1, n).astype(np.int32),
+        ratings=rng.uniform(1, 5, n).astype(np.float32),
+        photo_paths=np.full((n, V, P), "", dtype=np.str_),
+    )
+
+
+def test_checkpoint_roundtrip_params_and_opt_state(tmp_path):
+    rng = np.random.default_rng(1)
+    dims = ModelDims(review_net_only=True)
+    params = init_umpr(jax.random.PRNGKey(0), dims,
+                       rng.standard_normal((30, 8)).astype(np.float32))
+    trainable, frozen = split_frozen(params)
+    tx = make_optimizer(1e-3)
+    opt_state = tx.init(trainable)
+    # one update so moments are nonzero
+    grads = jax.tree.map(jnp.ones_like, trainable)
+    _, opt_state = tx.update(grads, opt_state, trainable)
+
+    root = str(tmp_path / "run")
+    ckpt.save_best(root, merge_params(trainable, frozen))
+    ckpt.save_last(root, trainable, opt_state, epoch=3, batch_counter=42,
+                   best_loss=1.25)
+
+    params2 = ckpt.restore_best(root, merge_params(trainable, frozen))
+    for a, b in zip(jax.tree.leaves(params2),
+                    jax.tree.leaves(merge_params(trainable, frozen))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    tr2, os2, meta = ckpt.restore_last(root, trainable, opt_state)
+    assert meta == {"epoch": 3, "batch_counter": 42, "best_loss": 1.25}
+    for a, b in zip(jax.tree.leaves(os2), jax.tree.leaves(opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dataset_npz_roundtrip(tmp_path):
+    ds = small_dataset()
+    path = str(tmp_path / "cache.npz")
+    ds.save(path)
+    ds2 = UMPRDataset.load(path)
+    np.testing.assert_array_equal(ds.u_tokens, ds2.u_tokens)
+    np.testing.assert_array_equal(ds.photo_paths, ds2.photo_paths)
+
+
+def test_loader_padding_and_shuffle():
+    ds = small_dataset(n=10)
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, seed=7)
+    batches = list(loader)
+    assert len(batches) == 3
+    for b in batches[:-1]:
+        assert b["sample_mask"].sum() == 4
+    last = batches[-1]
+    assert last["sample_mask"].tolist() == [1, 1, 0, 0]
+    assert (last["u_counts"][2:] == 0).all()  # dead rows can't raise maxima
+
+    # same seed -> same order; different seed -> different order
+    again = list(BatchLoader(ds, batch_size=4, shuffle=True, seed=7))
+    np.testing.assert_array_equal(batches[0]["ratings"], again[0]["ratings"])
+    other = list(BatchLoader(ds, batch_size=4, shuffle=True, seed=8))
+    assert any((a["ratings"] != b["ratings"]).any()
+               for a, b in zip(batches, other))
+
+
+def test_photo_cache_lru_eviction(tmp_path):
+    cv2 = __import__("cv2")
+    from umpr_tpu.data.images import PhotoCache
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"{i}.jpg")
+        cv2.imwrite(p, rng.integers(0, 255, (50, 50, 3)).astype(np.uint8))
+        paths.append(p)
+
+    one = PhotoCache(1)  # capacity below one image -> always evicts, never breaks
+    for p in paths:
+        img = one.get(p, (32, 32))
+        assert img.shape == (32, 32, 3)
+    assert one.misses == 4
+
+    big = PhotoCache(10 << 20)
+    for p in paths * 3:
+        big.get(p, (32, 32))
+    assert big.misses == 4 and big.hits == 8
