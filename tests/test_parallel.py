@@ -18,17 +18,22 @@ from umpr_tpu.train.step import make_train_step
 from tests.ref_oracle import random_batch
 
 
-def run_steps(devices, n_steps=3, seed=0):
+def run_steps(devices, n_steps=3, seed=0, shard_embedding=False):
     mesh = make_mesh(devices)
     rep, dp = replicated(mesh), batch_sharded(mesh)
 
     rng = np.random.default_rng(seed)
     dims = ModelDims(review_net_only=True)
     params = init_umpr(jax.random.PRNGKey(seed), dims,
-                       rng.standard_normal((50, 16)).astype(np.float32))
+                       rng.standard_normal((48, 16)).astype(np.float32))
     trainable, frozen = split_frozen(params)
     trainable = jax.device_put(trainable, rep)
-    frozen = jax.device_put(frozen, rep)
+    if shard_embedding:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        frozen = {"embedding": jax.device_put(
+            frozen["embedding"], NamedSharding(mesh, P("dp", None)))}
+    else:
+        frozen = jax.device_put(frozen, rep)
     tx = make_optimizer(1e-3)
     opt_state = jax.device_put(tx.init(trainable), rep)
     step = make_train_step(dims, tx, donate=False)
@@ -53,3 +58,16 @@ def test_8dev_equals_1dev():
     l8 = jax.tree_util.tree_leaves(tr_8)
     for a, b in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_vocab_sharded_embedding_equals_replicated():
+    """Tensor-parallel vocab table (rows sharded over the mesh) must be a
+    pure layout change: identical losses and updates."""
+    devices = jax.devices()
+    losses_rep, tr_rep = run_steps(devices[:8], seed=1)
+    losses_tp, tr_tp = run_steps(devices[:8], seed=1, shard_embedding=True)
+    np.testing.assert_allclose(losses_rep, losses_tp, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(tr_rep),
+                    jax.tree_util.tree_leaves(tr_tp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)

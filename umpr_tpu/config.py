@@ -68,6 +68,9 @@ class Config:
                            # removes the JPEG-decode bottleneck after epoch 1.
     use_pallas = True  # use the fused Pallas GRU kernel on TPU (False = pure lax.scan).
     mesh_shape = []  # explicit device mesh, e.g. [8] for 8-way DP; [] = all devices on one axis.
+    shard_embedding = False  # tensor-parallel: shard the (frozen) vocab table's rows
+                             # across the mesh -- for large-vocab configs (Amazon CSJ
+                             # 5.7M reviews / Yelp) where a replicated table wastes HBM.
     resume_path = ""  # optional checkpoint dir to resume training from (params + opt state).
     rnet_pretrained = ""  # optional R-Net warm-start checkpoint from umpr_tpu.pretrain.rnet
                           # (the analogue of RNet(pretrained=...) at reference model.py:30-34).

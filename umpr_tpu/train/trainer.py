@@ -70,7 +70,19 @@ class Trainer:
                             f'"{config.vgg16_weights}"')
         self.trainable, self.frozen = split_frozen(params)
         self.trainable = jax.device_put(self.trainable, self.rep)
-        self.frozen = jax.device_put(self.frozen, self.rep)
+        if config.shard_embedding:
+            # Tensor-parallel vocab table: rows sharded over the mesh axis;
+            # XLA turns the lookups into dynamic-gathers + collectives.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            emb = self.frozen["embedding"]
+            pad = (-emb.shape[0]) % n_dev  # rows must divide over the axis
+            if pad:
+                emb = jax.numpy.concatenate(
+                    [emb, jax.numpy.zeros((pad, emb.shape[1]), emb.dtype)])
+            vocab_sharded = NamedSharding(self.mesh, P("dp", None))
+            self.frozen = {"embedding": jax.device_put(emb, vocab_sharded)}
+        else:
+            self.frozen = jax.device_put(self.frozen, self.rep)
 
         self.tx = make_optimizer(config.l2_regularization)
         self.opt_state = jax.device_put(self.tx.init(self.trainable), self.rep)
