@@ -1,0 +1,71 @@
+"""Smaller subsystems: photo downloader validation logic, profiler hook,
+ABAE aspect evaluation, hard-label pair mining, review-level tokenization."""
+
+import numpy as np
+import jax
+
+from umpr_tpu.data.download import is_valid_jpg
+
+
+def test_is_valid_jpg(tmp_path):
+    good = tmp_path / "good.jpg"
+    good.write_bytes(b"\xff\xd8some jpeg data\xff\xd9")
+    assert is_valid_jpg(str(good))
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"\xff\xd8truncated")
+    assert not is_valid_jpg(str(bad))
+    assert not is_valid_jpg(str(tmp_path / "missing.jpg"))
+
+
+def test_profiler_hook(tmp_path):
+    """jax.profiler trace wrapping a jitted step (the trainer's profile_dir
+    path uses exactly this API)."""
+    out = str(tmp_path / "trace")
+    f = jax.jit(lambda x: (x * x).sum())
+    f(jax.numpy.ones(8))
+    jax.profiler.start_trace(out)
+    f(jax.numpy.ones(8))
+    jax.profiler.stop_trace()
+    import glob
+    assert glob.glob(out + "/**/*.xplane.pb", recursive=True)
+
+
+def test_evaluate_aspects_noninteractive():
+    from umpr_tpu.pretrain.abae import init_abae, evaluate_aspects
+    from tests.test_native import FakeW2v, WORDS
+    w2v = FakeW2v(WORDS)
+    params = init_abae(jax.random.PRNGKey(0), w2v.embedding, 3)
+    tests = ["great sound quality album", "terrible mix production bass"]
+    labels = ["Food", "Staff"]
+    acc = evaluate_aspects(params, w2v, tests, labels,
+                           aspect_mapping=[0, 1, 2])
+    assert 0.0 <= acc <= 1.0
+
+
+def test_mine_pairs_hard():
+    from umpr_tpu.pretrain.rnet import mine_pairs_hard
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 30, (40, 10)).astype(np.int32)
+    probs = rng.random((40, 3)).astype(np.float32)
+    s1, s2, y = mine_pairs_hard(data, probs, rng)
+    assert len(s1) == len(s2) == len(y) and len(y) > 0
+    assert set(np.unique(y)) <= {0.0, 1.0}
+    # labels alternate pos/neg per anchor
+    assert y[0] == 1.0 and y[1] == 0.0
+
+
+def test_review_level_tokenization():
+    """review_level='review': the whole review becomes one 'sentence' with
+    '.' treated as whitespace (reference dataset.py:24)."""
+    from umpr_tpu.data.dataset import _tokenize_reviews
+    from tests.test_native import FakeW2v, WORDS
+    import pandas as pd
+
+    class Cfg:
+        max_sent_length = 50
+        review_level = "review"
+
+    w2v = FakeW2v(WORDS)
+    df = pd.DataFrame({"review": ["great sound. quality album loved melody production"]})
+    out = _tokenize_reviews(df, w2v, Cfg)
+    assert len(out[0]) == 1 and len(out[0][0]) == 7  # one unit, 7 tokens

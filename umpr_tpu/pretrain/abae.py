@@ -162,6 +162,34 @@ def train_abae(word2vec, sentences, *, sent_len=20, neg_count=20, batch_size=512
     return params
 
 
+def evaluate_aspects(params, word2vec, tests, test_labels, *, sent_len=20,
+                     batch_size=1024, categories=None, aspect_mapping=None,
+                     logger=None):
+    """Aspect-classification accuracy against human labels (reference
+    abae.py:166-188).  The reference interactively asks a human to map each
+    learned aspect to a category name via input(); pass `aspect_mapping`
+    (list of category indices, one per aspect) to run non-interactively.
+    """
+    categories = categories or ["Food", "Staff", "Ambience", "Price",
+                                "Anecdotes", "Miscellaneous"]
+    n_aspects = params["aspect"].shape[0]
+    if aspect_mapping is None:
+        print("Please choose a category from following list for each aspect.")
+        print(dict(enumerate(categories)))
+        aspect_mapping = [int(input(f"Input index(0~{len(categories) - 1}) "
+                                    f"to aspect {k}:")) for k in range(n_aspects)]
+    aspect_words = [categories[i] for i in aspect_mapping]
+
+    data = sentences_to_ids(word2vec, tests, sent_len)
+    probs = abae_predict(params, data, batch_size)
+    pred = probs.argmax(axis=-1)
+    correct = sum(1 for truth, aid in zip(test_labels, pred)
+                  if truth == aspect_words[aid])
+    acc = correct / max(len(pred), 1)
+    (logger.info if logger else print)(f"Accuracy: {acc:.6f}")
+    return acc
+
+
 def abae_predict(params, data, batch_size=1024):
     """Aspect distributions for (N, L) id array."""
     fwd = jax.jit(lambda p, ids: abae_forward(p, ids))

@@ -61,6 +61,32 @@ def mine_pairs(data, probs, rng, sample_k=20, hi=0.8, lo=0.5):
     return data[s1], data[s2], np.asarray(labels, np.float32)
 
 
+def mine_pairs_hard(data, probs, rng, min_category=5):
+    """Hard-label variant (reference PretrainRNetDataset_bak,
+    pretrain_rnet.py:29-81): bucket sentences by argmax aspect, sample a
+    positive from the same bucket and a negative from another bucket."""
+    labels_by_cat = {}
+    assign = probs.argmax(axis=-1)
+    for i, c in enumerate(assign):
+        labels_by_cat.setdefault(int(c), []).append(i)
+    labels_by_cat = {c: v for c, v in labels_by_cat.items() if len(v) >= min_category}
+    cats = list(labels_by_cat)
+    s1, s2, y = [], [], []
+    if len(cats) < 2:
+        return data[s1], data[s2], np.asarray(y, np.float32)
+    for c, members in labels_by_cat.items():
+        for i in members:
+            pos = i
+            while pos == i:
+                pos = members[rng.integers(len(members))]
+            other = c
+            while other == c:
+                other = cats[rng.integers(len(cats))]
+            neg = labels_by_cat[other][rng.integers(len(labels_by_cat[other]))]
+            s1 += [i, i]; s2 += [pos, neg]; y += [1.0, 0.0]
+    return data[s1], data[s2], np.asarray(y, np.float32)
+
+
 def init_pretrain_rnet(key, word_emb, gru_size):
     word_emb = np.asarray(word_emb, np.float32)
     k1, k2 = jax.random.split(key)
