@@ -13,8 +13,9 @@ import jax
 import jax.numpy as jnp
 
 from umpr_tpu.models.layers import init_linear, randn
+from umpr_tpu.ops.attention import affinity_attention
 from umpr_tpu.ops.gru import init_bigru, bigru
-from umpr_tpu.ops.masking import masked_max, masked_softmax
+from umpr_tpu.ops.masking import masked_softmax
 
 
 def init_rnet(key, emb_size, gru_size):
@@ -48,13 +49,9 @@ def rnet(p, user_emb, item_emb, u_lengths, i_lengths, exists, use_pallas=False):
     gru_i = gru_ui[B * S:].reshape(B, S * L, -1)
     e = exists.reshape(S * L)
 
-    # Affinity A[p, q] = tanh(gru_i[p] . M . gru_u[q])   (eq. 3)
-    A = jnp.tanh(jnp.einsum("bpe,ef,bqf->bpq", gru_i, p["M"], gru_u))
-    # column max over existing i-positions -> softmax over existing u-positions
-    soft_u = masked_softmax(masked_max(A, e[None, :, None], axis=-2), e[None, :], axis=-1)
-    soft_i = masked_softmax(masked_max(A, e[None, None, :], axis=-1), e[None, :], axis=-1)
-    atte_u = jnp.einsum("bpe,bp->be", gru_u, soft_u)
-    atte_i = jnp.einsum("bpe,bp->be", gru_i, soft_i)
+    # Affinity attention (eq. 3-4); fused Pallas kernel on TPU.
+    soft_u, soft_i, atte_u, atte_i = affinity_attention(
+        gru_u, gru_i, p["M"], e, use_pallas)
     return gru_u, gru_i, soft_u, soft_i, atte_u, atte_i
 
 
