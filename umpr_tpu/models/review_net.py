@@ -28,7 +28,8 @@ def init_rnet(key, emb_size, gru_size):
     }
 
 
-def rnet(p, user_emb, item_emb, u_lengths, i_lengths, exists, use_pallas=False):
+def rnet(p, user_emb, item_emb, u_lengths, i_lengths, exists, use_pallas=False,
+         attention_pallas=None):
     """Word-level cross attention between user and item histories.
 
     user_emb/item_emb: (B, S, L, E); *_lengths: (B, S); exists: (S, L) bool
@@ -49,9 +50,14 @@ def rnet(p, user_emb, item_emb, u_lengths, i_lengths, exists, use_pallas=False):
     gru_i = gru_ui[B * S:].reshape(B, S * L, -1)
     e = exists.reshape(S * L)
 
-    # Affinity attention (eq. 3-4); fused Pallas kernel on TPU.
+    # Affinity attention (eq. 3-4).  The fused kernel wins big on forward
+    # (3.7x: no (B,P,P) HBM traffic) but its rematerializing backward does
+    # ~3x the matmul work, so training keeps the composite path; callers
+    # enable the kernel for no-grad (eval/serving) graphs.
+    if attention_pallas is None:
+        attention_pallas = use_pallas
     soft_u, soft_i, atte_u, atte_i = affinity_attention(
-        gru_u, gru_i, p["M"], e, use_pallas)
+        gru_u, gru_i, p["M"], e, attention_pallas)
     return gru_u, gru_i, soft_u, soft_i, atte_u, atte_i
 
 
@@ -97,13 +103,15 @@ def init_review_net(key, emb_size, gru_size, atte_size):
     }
 
 
-def review_net(p, user_emb, item_emb, u_lengths, i_lengths, exists, use_pallas=False):
+def review_net(p, user_emb, item_emb, u_lengths, i_lengths, exists,
+               use_pallas=False, attention_pallas=None):
     """Full review network (reference model.py:157-169, eq. 7-8).
 
     Returns (B, 2u) textual-matching representation."""
     B, S, L, _ = user_emb.shape
     gru_u, gru_i, soft_u, soft_i, atte_u, atte_i = rnet(
-        p["rnet"], user_emb, item_emb, u_lengths, i_lengths, exists, use_pallas)
+        p["rnet"], user_emb, item_emb, u_lengths, i_lengths, exists, use_pallas,
+        attention_pallas)
     t_exists = exists[0]  # (L,): token mask for row 0 == any existing sentence row
     _, sent_u = snet(p["snet_u"], gru_u, soft_u, S, L, t_exists)
     _, sent_i = snet(p["snet_i"], gru_i, soft_i, S, L, t_exists)
