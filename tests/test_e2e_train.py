@@ -1,0 +1,86 @@
+"""End-to-end driver test: synthetic corpus -> preprocess -> vocab ->
+datasets -> Trainer.fit (UMPR-R) -> checkpoints -> test() -> resume.
+
+Guards the full main.py flow in CI (CPU).  Mirrors the reference's overall
+train()/test() call stack (reference main.py:64-99)."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from umpr_tpu.config import Config
+from umpr_tpu.data.dataset import build_dataset
+from umpr_tpu.text.preprocess import process_dataset, AMAZON_COLS
+from umpr_tpu.text.vocab import Word2vec
+from umpr_tpu.train.trainer import Trainer
+from umpr_tpu.utils.logging import get_logger
+
+WORDS = ("great sound quality album terrible loved fantastic song guitar "
+         "drums vocals melody lyric beat bass mix production classic").split()
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = random.Random(5)
+    raw = root / "reviews.json"
+    with open(raw, "w") as f:
+        for u in range(30):
+            for it in rng.sample(range(8), 5):
+                sents = [" ".join(rng.choices(WORDS, k=rng.randint(6, 12)))
+                         for _ in range(rng.randint(2, 4))]
+                f.write(repr({"reviewerID": f"U{u}", "asin": f"I{it}",
+                              "reviewText": ". ".join(sents) + ".",
+                              "overall": float(rng.randint(1, 5))}) + "\n")
+    meta = root / "meta.json"
+    with open(meta, "w") as f:
+        for it in range(8):
+            f.write(repr({"asin": f"I{it}", "imUrl": f"http://x/{it}.jpg"}) + "\n")
+    process_dataset(str(raw), str(meta), str(root), 0.8, AMAZON_COLS)
+
+    nprng = np.random.default_rng(0)
+    glove = root / "glove.txt"
+    with open(glove, "w") as f:
+        for w in WORDS:
+            f.write(w + " " + " ".join(f"{x:.4f}" for x in nprng.standard_normal(16)) + "\n")
+    return root
+
+
+def test_fit_test_resume(corpus_dir, tmp_path):
+    cfg = Config(argv=["--device", "cpu", "--review_net_only", "True",
+                       "--batch_size", "8", "--train_epochs", "2",
+                       "--eval_every", "2", "--learning_rate", "0.01",
+                       "--min_sent_count", "1", "--seed", "2",
+                       "--cache_dataset", "False"])
+    logger = get_logger(logger_name="e2e-test")
+    w2v = Word2vec(str(corpus_dir / "glove.txt"))
+    mk = lambda split: build_dataset(str(corpus_dir / f"{split}.csv"),
+                                     str(corpus_dir / "photos.json"),
+                                     str(corpus_dir / "photos"), w2v, cfg)
+    train_ds, valid_ds = mk("train"), mk("valid")
+    assert len(train_ds) > 8 and len(valid_ds) >= 1
+
+    model_dir = str(tmp_path / "model")
+    trainer = Trainer(cfg, logger, w2v)
+    trainer.fit(train_ds, valid_ds, model_dir)
+    assert os.path.exists(os.path.join(model_dir, "best", "arrays.npz"))
+    assert os.path.exists(os.path.join(model_dir, "last", "meta.json"))
+    assert trainer.batch_counter > 0
+
+    mse = trainer.test(valid_ds, model_dir)
+    assert np.isfinite(mse)
+
+    # resume: continues counters and optimizer state
+    cfg2 = Config(argv=["--device", "cpu", "--review_net_only", "True",
+                        "--batch_size", "8", "--train_epochs", "3",
+                        "--eval_every", "2", "--learning_rate", "0.01",
+                        "--min_sent_count", "1", "--seed", "2",
+                        "--cache_dataset", "False",
+                        "--resume_path", model_dir])
+    trainer2 = Trainer(cfg2, logger, w2v)
+    assert trainer2.start_epoch == 2
+    assert trainer2.batch_counter == trainer.batch_counter
+    trainer2.fit(train_ds, valid_ds, model_dir)
+    assert trainer2.batch_counter > trainer.batch_counter
