@@ -60,7 +60,9 @@ class UMPRDataset:
         return self.u_tokens.shape[0]
 
     def save(self, path):
-        np.savez_compressed(path, **{k: getattr(self, k) for k in self.__dataclass_fields__})
+        # uncompressed: ~10x faster save/load than savez_compressed at
+        # Yelp/CSJ scale, and token arrays mostly fit in page cache anyway
+        np.savez(path, **{k: getattr(self, k) for k in self.__dataclass_fields__})
 
     @classmethod
     def load(cls, path):
