@@ -88,12 +88,14 @@ def fast_tokenize_reviews(reviews, word2vec, max_len, sentence_level,
     unavailable (caller falls back)."""
     if _load() is None:
         return None
-    key = id(word2vec)
-    nv = _vocab_cache.get(key)
-    if nv is None:
-        nv = NativeVocab(word2vec.vocab[3:])
-        _vocab_cache.clear()
-        _vocab_cache[key] = nv
+    # Cache the built C++ vocab per Word2vec instance.  The entry holds a
+    # strong reference to the instance and verifies identity, so a recycled
+    # id() after GC can never alias to the wrong vocabulary.
+    entry = _vocab_cache.get("entry")
+    if entry is None or entry[0] is not word2vec:
+        entry = (word2vec, NativeVocab(word2vec.vocab[3:]))
+        _vocab_cache["entry"] = entry
+    nv = entry[1]
 
     docs = [str(x) for x in reviews]
     ascii_mask = np.ones(len(docs), bool)

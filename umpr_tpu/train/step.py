@@ -36,6 +36,7 @@ def make_train_step(dims, tx, donate=True):
         updates, opt_state = tx.update(grads, opt_state, trainable)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         trainable = optax.apply_updates(trainable, updates)
+        aux["n_real"] = jnp.sum(batch["sample_mask"])
         return trainable, opt_state, loss, aux
 
     return jax.jit(train_step, donate_argnums=(0, 2) if donate else ())

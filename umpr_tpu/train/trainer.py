@@ -144,19 +144,22 @@ class Trainer:
         for epoch in range(self.start_epoch, cfg.train_epochs):
             lr = lr_at_epoch(cfg.learning_rate, cfg.lr_decay, epoch)
             train_loader = self._loader(train_data, shuffle=True, seed=cfg.seed + epoch)
+            # Accumulate loss/sample counts as LAZY device scalars: reading
+            # them every step would synchronize the dispatch pipeline (the
+            # reference's loss.item() per batch, main.py:39); we only sync
+            # at logging points.
             total_loss, total_samples = 0.0, 0.0
             for batch in self._progress(self._device_batches(train_loader),
                                         f"Training epoch {epoch}",
                                         len(train_loader)):
                 if cfg.profile_dir and not profiled and self.batch_counter == 2:
                     jax.profiler.start_trace(cfg.profile_dir)
-                n_real = float(np.asarray(batch["sample_mask"]).sum())
                 rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), self.batch_counter)
                 self.trainable, self.opt_state, loss, aux = self.train_step(
                     self.trainable, self.frozen, self.opt_state, batch,
                     lr, rng)
-                total_loss += float(loss) * n_real
-                total_samples += n_real
+                total_loss = total_loss + loss * aux["n_real"]
+                total_samples = total_samples + aux["n_real"]
 
                 if cfg.profile_dir and not profiled and self.batch_counter == 6:
                     jax.profiler.stop_trace()
@@ -166,13 +169,14 @@ class Trainer:
                 if self.batch_counter % cfg.eval_every == 0:
                     valid_mse = self._evaluate(valid_loader)
                     logger.info(f"\rEpoch {epoch:2d}; batch {self.batch_counter:5d}; "
-                                f"train loss {total_loss / total_samples:.6f}; "
+                                f"train loss {float(total_loss) / float(total_samples):.6f}; "
                                 f"valid mse {valid_mse:.6f}")
                     if self.best_loss > valid_mse:
                         ckpt.save_best(model_path, merge_params(self.trainable, self.frozen))
                         self.best_loss = valid_mse
 
-            logger.info(f"Epoch {epoch:3d} done; train loss {total_loss / max(total_samples, 1):.6f}")
+            logger.info(f"Epoch {epoch:3d} done; train loss "
+                        f"{float(total_loss) / max(float(total_samples), 1.0):.6f}")
             ckpt.save_last(model_path, self.trainable, self.opt_state,
                            epoch=epoch + 1, batch_counter=self.batch_counter,
                            best_loss=self.best_loss)
