@@ -41,7 +41,8 @@ def _enable_compile_cache():
 _enable_compile_cache()
 
 B, S, L, S_UI, EMB, VOCAB = 64, 20, 20, 5, 50, 5000
-STEPS = 100
+STEPS = 100        # train steps per cycle
+EVAL_BATCHES = 20  # Music-small valid is ~1/10 of train; scaled to STEPS
 
 
 def make_batch(rng):
@@ -50,11 +51,14 @@ def make_batch(rng):
 
 
 def bench_tpu(batch_np):
+    """Train+eval cycle throughput at the reference cadence: STEPS train
+    steps followed by an eval pass over EVAL_BATCHES validation batches
+    (the reference evaluates every 500 train batches, main.py:43)."""
     import jax
     import jax.numpy as jnp
     from umpr_tpu.models.umpr import ModelDims, init_umpr
     from umpr_tpu.train.optim import make_optimizer, split_frozen
-    from umpr_tpu.train.step import make_train_step
+    from umpr_tpu.train.step import make_train_step, make_eval_step
 
     on_tpu = jax.default_backend() == "tpu"
     dims = ModelDims(review_net_only=True, use_pallas=on_tpu)
@@ -65,12 +69,15 @@ def bench_tpu(batch_np):
     tx = make_optimizer(1e-3)
     opt_state = tx.init(trainable)
     step = make_train_step(dims, tx)
+    eval_step = make_eval_step(dims)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     key = jax.random.PRNGKey(0)
 
-    # warmup / compile
+    # warmup / compile both graphs
     trainable, opt_state, loss, _ = step(trainable, frozen, opt_state, batch, 1e-6, key)
     float(loss)
+    sq, n = eval_step(trainable, frozen, batch)
+    float(sq)
 
     best = 0.0
     for _ in range(2):  # two rounds; report the best (tunnel-stutter guard)
@@ -78,8 +85,11 @@ def bench_tpu(batch_np):
         for _ in range(STEPS):
             trainable, opt_state, loss, _ = step(trainable, frozen, opt_state,
                                                  batch, 1e-6, key)
-        float(loss)  # force completion of the whole chain
-        best = max(best, B * STEPS / (time.perf_counter() - t0))
+        for _ in range(EVAL_BATCHES):
+            sq, n = eval_step(trainable, frozen, batch)
+        float(loss) + float(sq)  # force completion of the whole chain
+        samples = B * (STEPS + EVAL_BATCHES)
+        best = max(best, samples / (time.perf_counter() - t0))
     return best
 
 
@@ -107,14 +117,19 @@ def bench_torch_cpu(batch_np, steps=3):
     loss.backward()
     opt.step()
 
+    evals = max(steps // 5, 1)  # same 5:1 train:eval mix as the TPU cycle
     t0 = time.perf_counter()
     for _ in range(steps):
         opt.zero_grad()
         _, loss = model(*args)
         loss.backward()
         opt.step()
+    model.eval()
+    with torch.no_grad():
+        for _ in range(evals):
+            model(*args)
     dt = time.perf_counter() - t0
-    return B * steps / dt
+    return B * (steps + evals) / dt
 
 
 def main():
@@ -126,7 +141,7 @@ def main():
     except Exception:
         cpu_sps = float("nan")
     print(json.dumps({
-        "metric": "UMPR-R train samples/sec/chip (Music-small shapes, B=64)",
+        "metric": "UMPR-R train+eval samples/sec/chip (Music-small shapes, B=64)",
         "value": round(tpu_sps, 1),
         "unit": "samples/sec",
         "vs_baseline": round(tpu_sps / cpu_sps, 2) if cpu_sps == cpu_sps else None,
