@@ -55,6 +55,13 @@ class UMPRDataset:
     ui_counts: np.ndarray  # (N,)
     ratings: np.ndarray    # (N,) float32
     photo_paths: np.ndarray  # (N, V, P) unicode paths; '' means "no file, use zeros"
+    source_rows: np.ndarray = None  # (N,) int64 original CSV row per sample
+                                    # (sample filters drop rows; serving maps
+                                    # predictions back through this)
+
+    def __post_init__(self):
+        if self.source_rows is None:
+            self.source_rows = np.arange(len(self.u_tokens), dtype=np.int64)
 
     def __len__(self):
         return self.u_tokens.shape[0]
@@ -67,7 +74,8 @@ class UMPRDataset:
     @classmethod
     def load(cls, path):
         with np.load(path, allow_pickle=False) as z:
-            return cls(**{k: z[k] for k in cls.__dataclass_fields__})
+            fields = {k: z[k] for k in cls.__dataclass_fields__ if k in z}
+            return cls(**fields)  # older caches lack source_rows -> default
 
 
 def _tokenize_reviews(df, word2vec, config):
@@ -235,4 +243,5 @@ def build_dataset(data_path, photo_json, photo_dir, word2vec, config) -> UMPRDat
         i_tokens=i_tok, i_lengths=i_len, i_counts=i_cnt,
         ui_tokens=ui_tok, ui_lengths=ui_len, ui_counts=ui_cnt,
         ratings=ratings, photo_paths=photo_arr,
+        source_rows=np.asarray(keep, dtype=np.int64),
     )
