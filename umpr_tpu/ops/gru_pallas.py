@@ -77,8 +77,22 @@ def _make_valid(lengths, tau, H, L, rows):
 
 
 # ----------------------------------------------------------------- forward
+def _fwd_step(xg_t, h, w, b, lengths, tau, H, L):
+    """One recurrent step on values; returns (h, y_t)."""
+    hg = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+    r = jax.nn.sigmoid(xg_t[:, :2 * H] + hg[:, :2 * H])
+    z = jax.nn.sigmoid(xg_t[:, 2 * H:4 * H] + hg[:, 2 * H:4 * H])
+    ncand = jnp.tanh(xg_t[:, 4 * H:] + r * hg[:, 4 * H:])
+    h_new = (1.0 - z) * ncand + z * h
+    valid = _make_valid(lengths, tau, H, L, h.shape[0])
+    h = jnp.where(valid, h_new, h)
+    return h, jnp.where(valid, h_new, 0.0)
+
+
 def _fwd_kernel(xg_ref, len_ref, whh_ref, bhh_ref, y_ref, hs_ref, h_scr,
-                *, H, L, emit_hs):
+                *, H, L, T, emit_hs):
+    """Grid (row tile, time block); each call advances T timesteps -- the
+    per-grid-step overheads (DMA waits, bookkeeping) amortize over T."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -87,44 +101,47 @@ def _fwd_kernel(xg_ref, len_ref, whh_ref, bhh_ref, y_ref, hs_ref, h_scr,
 
     lengths = len_ref[:]          # (R, 1) int32
     h = h_scr[:]                  # (R, 2H)
-    xg_t = xg_ref[:]              # (R, 6H)
-    hg = jnp.dot(h, whh_ref[:], preferred_element_type=jnp.float32) + bhh_ref[:]
-    r = jax.nn.sigmoid(xg_t[:, :2 * H] + hg[:, :2 * H])
-    z = jax.nn.sigmoid(xg_t[:, 2 * H:4 * H] + hg[:, 2 * H:4 * H])
-    ncand = jnp.tanh(xg_t[:, 4 * H:] + r * hg[:, 4 * H:])
-    h_new = (1.0 - z) * ncand + z * h
-
-    valid = _make_valid(lengths, t, H, L, h.shape[0])
-    h = jnp.where(valid, h_new, h)
+    w, b = whh_ref[:], bhh_ref[:]
+    for k in range(T):
+        h, y = _fwd_step(xg_ref[:, k * 6 * H:(k + 1) * 6 * H], h, w, b,
+                         lengths, t * T + k, H, L)
+        y_ref[:, k * 2 * H:(k + 1) * 2 * H] = y
+        if emit_hs:
+            hs_ref[:, k * 2 * H:(k + 1) * 2 * H] = h
     h_scr[:] = h
-    y_ref[:] = jnp.where(valid, h_new, 0.0)
-    if emit_hs:
-        hs_ref[:] = h
+
+
+def _time_tile(L):
+    # Measured end-to-end on v5e: T=2 wins the isolated GRU micro-bench
+    # slightly but regresses the full train step (~-10%%, likely scheduling
+    # interplay with the backward kernel); keep T=1.
+    return 1
 
 
 def _pallas_forward(params, xg, lengths, N, L, H, emit_hs):
     R = min(N, MAX_ROWS)
+    T = _time_tile(L)
     w_blk = _block_diag_whh(params["fwd"]["w_hh"], params["bwd"]["w_hh"], H)
     b_blk = _interleave_gates(params["fwd"]["bias_hh"],
                               params["bwd"]["bias_hh"], H).reshape(1, -1)
-    kernel = functools.partial(_fwd_kernel, H=H, L=L, emit_hs=emit_hs)
+    kernel = functools.partial(_fwd_kernel, H=H, L=L, T=T, emit_hs=emit_hs)
     outs = pl.pallas_call(
         kernel,
-        grid=(pl.cdiv(N, R), L),
+        grid=(pl.cdiv(N, R), L // T),
         in_specs=[
-            pl.BlockSpec((R, 6 * H), lambda i, t: (i, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, T * 6 * H), lambda i, t: (i, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 1), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((R, 2 * H), lambda i, t: (i, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 2 * H), lambda i, t: (i, t) if emit_hs else (i, 0),
+            pl.BlockSpec((R, T * 2 * H), lambda i, t: (i, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, T * 2 * H), lambda i, t: (i, t) if emit_hs else (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, L * 2 * H), jnp.float32),
-            jax.ShapeDtypeStruct((N, (L if emit_hs else 1) * 2 * H), jnp.float32),
+            jax.ShapeDtypeStruct((N, (L if emit_hs else T) * 2 * H), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((R, 2 * H), jnp.float32)],
         cost_estimate=pl.CostEstimate(
