@@ -89,3 +89,59 @@ def test_gradient_parity_review_net():
     for ours, theirs in pairs:
         np.testing.assert_allclose(np.asarray(ours), theirs.detach().numpy(),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_gradient_parity_full_umpr():
+    """Gradients through ControlNet + VisualNet (VGG16) + both losses vs
+    torch autograd through the reference implementation."""
+    from tests.ref_oracle import (import_reference_model, patch_improved_rnn,
+                                  load_umpr, batch_to_reference, RefConfig,
+                                  random_batch)
+    ref = import_reference_model()
+    patch_improved_rnn(ref)
+
+    rng = np.random.default_rng(9)
+    batch = random_batch(rng, B=2, S=4, L=9, S_ui=2, V=2, P=1,
+                         with_photos=True, img=224)
+    dims = ModelDims(review_net_only=False, view_size=2)
+    params = init_umpr(jax.random.PRNGKey(6), dims,
+                       rng.standard_normal((40, 16)).astype(np.float32))
+    trainable, frozen = split_frozen(params)
+
+    def loss_fn(tr):
+        full = {**tr, **frozen}
+        b = {k: jnp.asarray(v) for k, v in batch.items()}
+        _, loss, _ = umpr_forward(full, b, dims, train=False)
+        return loss
+
+    grads = jax.grad(loss_fn)(trainable)
+
+    model = load_umpr(ref, params, RefConfig(review_net_only=False, views=["a", "b"]))
+    model.eval()  # dropout off on both sides
+    _, ref_loss = model(*batch_to_reference(batch))
+    ref_loss.backward()
+
+    cn, vn = model.control_net, model.visual_net
+    pairs = [
+        (grads["control_net"]["cnet"]["conv"]["kernel"],
+         cn.c_net.cnn[0].weight.grad.permute(2, 1, 0)),
+        (grads["control_net"]["cnet"]["linear"]["kernel"],
+         cn.c_net.linear[0].weight.grad.T),
+        (grads["control_net"]["cnet"]["gru"]["fwd"]["w_ih"],
+         cn.c_net.gru.module.weight_ih_l0.grad.T),
+        (grads["control_net"]["ssnet"]["linear"]["kernel"],
+         cn.ss_net.linear[0].weight.grad.T),
+        (grads["control_net"]["snet"]["Ms"], cn.s_net.Ms.grad),
+        (grads["visual_net"]["pos_v_emb"], vn.pos_v_emb.grad),
+        (grads["visual_net"]["linear"]["kernel"], vn.linear.weight.grad.T),
+        (grads["visual_net"]["vgg16"]["features"][0]["kernel"],
+         vn.vgg16[0].features[0].weight.grad.permute(2, 3, 1, 0)),
+        (grads["visual_net"]["vgg16"]["classifier"][2]["kernel"],
+         vn.vgg16[0].classifier[6].weight.grad.T),
+        (grads["linear_fusion"]["kernel"], model.linear_fusion[0].weight.grad.T),
+    ]
+    for i, (ours, theirs) in enumerate(pairs):
+        # atol 5e-5: the 13-conv-deep VGG backward accumulates ~1e-5 noise
+        # on near-zero elements
+        np.testing.assert_allclose(np.asarray(ours), theirs.detach().numpy(),
+                                   rtol=2e-3, atol=5e-5, err_msg=f"pair {i}")

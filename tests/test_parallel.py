@@ -71,3 +71,34 @@ def test_vocab_sharded_embedding_equals_replicated():
                     jax.tree_util.tree_leaves(tr_tp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_2d_mesh_shape_batch_on_dp():
+    """mesh_shape [4, 2]: batch shards over the leading 'dp' axis; params
+    replicated over both axes; same losses as 1-D."""
+    devices = jax.devices()[:8]
+    from umpr_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(devices, shape=[4, 2])
+    assert mesh.axis_names == ("dp", "mp")
+    losses_1, _ = run_steps(devices[:1], seed=3)
+
+    from umpr_tpu.parallel.mesh import replicated, batch_sharded
+    rep, dp = replicated(mesh), batch_sharded(mesh)
+    rng = np.random.default_rng(3)
+    dims = ModelDims(review_net_only=True)
+    params = init_umpr(jax.random.PRNGKey(3), dims,
+                       rng.standard_normal((48, 16)).astype(np.float32))
+    trainable, frozen = split_frozen(params)
+    trainable = jax.device_put(trainable, rep)
+    frozen = jax.device_put(frozen, rep)
+    tx = make_optimizer(1e-3)
+    opt_state = jax.device_put(tx.init(trainable), rep)
+    step = make_train_step(dims, tx, donate=False)
+    losses = []
+    for i in range(3):
+        batch = random_batch(np.random.default_rng(100 + i), B=16, S=5, L=12, S_ui=2)
+        batch = {k: jax.device_put(jnp.asarray(v), dp) for k, v in batch.items()}
+        trainable, opt_state, loss, _ = step(
+            trainable, frozen, opt_state, batch, 1e-3, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses, losses_1, rtol=1e-5, atol=1e-6)

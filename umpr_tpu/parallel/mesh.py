@@ -22,19 +22,23 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+DEFAULT_AXES = ("dp", "mp", "pp")  # leading axis is always data-parallel
+
+
 def make_mesh(devices=None, shape=None, axis_names=None):
-    """Build a Mesh.  Default: every visible device on one 'dp' axis."""
+    """Build a Mesh.  Default: every visible device on one 'dp' axis; an
+    explicit shape names its axes ('dp', 'mp', 'pp', ...) leading-first so
+    batch sharding always targets 'dp'."""
     if devices is None:
         devices = jax.devices()
     devices = np.asarray(devices)
     if shape:
         devices = devices[: int(np.prod(shape))].reshape(tuple(shape))
-        axis_names = axis_names or tuple(f"ax{i}" for i in range(devices.ndim))
-        if len(shape) == 1:
-            axis_names = ("dp",)
+        axis_names = axis_names or DEFAULT_AXES[: devices.ndim]
     else:
-        axis_names = ("dp",)
-    return Mesh(devices.reshape(devices.shape if shape else (-1,)), axis_names)
+        devices = devices.reshape(-1)
+        axis_names = axis_names or ("dp",)
+    return Mesh(devices, axis_names)
 
 
 def replicated(mesh):
