@@ -49,6 +49,9 @@ class Predictor:
         if not config.multi_gpu:
             devices = devices[:1]
         self.mesh = make_mesh(devices, shape=config.mesh_shape or None)
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        assert config.batch_size % n_dev == 0, (
+            f"batch_size {config.batch_size} must divide over {n_dev} devices")
         self.rep, self.dp = replicated(self.mesh), batch_sharded(self.mesh)
 
         like = init_umpr(jax.random.PRNGKey(0), self.dims, word2vec.embedding)
