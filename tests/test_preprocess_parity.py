@@ -1,0 +1,49 @@
+"""Byte-for-byte preprocessor parity vs the reference data_process.py on a
+synthetic Amazon-style dump (the CSV splits ARE the dataset definition --
+seeds 3/4 at reference data_process.py:52-53)."""
+
+import filecmp
+import os
+import random
+import subprocess
+import sys
+
+import pytest
+
+from umpr_tpu.text.preprocess import process_dataset, AMAZON_COLS
+
+REF = "/root/reference/data/data_process.py"
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not mounted")
+def test_csvs_byte_identical_to_reference(tmp_path):
+    rng = random.Random(7)
+    words = ("great sound quality album terrible loved unicodeé "
+             "fantastic song guitar drums vocals melody beat").split()
+    raw = tmp_path / "reviews.json"
+    with open(raw, "w") as f:
+        for u in range(12):
+            for it in rng.sample(range(6), 4):
+                sents = [" ".join(rng.choices(words, k=rng.randint(5, 12)))
+                         for _ in range(rng.randint(1, 4))]
+                f.write(repr({"reviewerID": f"U{u}", "asin": f"I{it}",
+                              "reviewText": ". ".join(sents) + ".",
+                              "overall": float(rng.randint(1, 5))}) + "\n")
+        # quirk rows the reference drops (data_process.py:49)
+        f.write(repr({"reviewerID": "U0", "asin": "I0", "reviewText": "",
+                      "overall": 3.0}) + "\n")
+        f.write(repr({"reviewerID": "U1", "asin": "I1", "reviewText": None,
+                      "overall": 2.0}) + "\n")
+
+    ours = tmp_path / "ours"
+    refs = tmp_path / "refs"
+    process_dataset(str(raw), "/nonexistent", str(ours), 0.8, AMAZON_COLS)
+    subprocess.run(
+        [sys.executable, "data_process.py", "--data_path", str(raw),
+         "--meta_path", "/nonexistent", "--save_dir", str(refs),
+         "--train_rate", "0.8"],
+        cwd="/root/reference/data", check=True, capture_output=True)
+
+    for split in ("train", "valid", "test"):
+        a, b = ours / f"{split}.csv", refs / f"{split}.csv"
+        assert filecmp.cmp(a, b, shallow=False), f"{split}.csv differs"
