@@ -49,27 +49,33 @@ class PhotoCache:
     """
 
     def __init__(self, capacity_bytes=2 << 30):
+        import threading
         from collections import OrderedDict
         self._d = OrderedDict()
         self._capacity = capacity_bytes
         self._bytes = 0
+        self._lock = threading.Lock()  # train + eval prefetch threads share
+                                       # the trainer's cache concurrently
         self.hits = 0
         self.misses = 0
 
     def get(self, path, resize):
         key = path
-        img = self._d.get(key)
-        if img is not None:
-            self._d.move_to_end(key)
-            self.hits += 1
-            return img
-        self.misses += 1
-        img = get_image(path, resize)
-        self._bytes += img.nbytes
-        self._d[key] = img
-        while self._bytes > self._capacity and self._d:
-            _, old = self._d.popitem(last=False)
-            self._bytes -= old.nbytes
+        with self._lock:
+            img = self._d.get(key)
+            if img is not None:
+                self._d.move_to_end(key)
+                self.hits += 1
+                return img
+            self.misses += 1
+        img = get_image(path, resize)  # decode outside the lock
+        with self._lock:
+            if key not in self._d:
+                self._bytes += img.nbytes
+                self._d[key] = img
+                while self._bytes > self._capacity and self._d:
+                    _, old = self._d.popitem(last=False)
+                    self._bytes -= old.nbytes
         return img
 
 
