@@ -27,7 +27,9 @@ def affinity_attention(gru_u, gru_i, M, exists, use_pallas=False):
     """gru_u/gru_i: (B, P, D); M: (D, D); exists: (P,) bool.
 
     Returns soft_u, soft_i (B, P) and atte_u, atte_i (B, D)."""
-    if use_pallas:
+    if use_pallas and gru_u.shape[-1] % 128 == 0:
+        # kernel blocks are D-wide and must be 128-lane multiples; other
+        # widths (gru_size not a multiple of 64) use the composite path
         from umpr_tpu.ops.attention_pallas import affinity_attention_pallas
         return affinity_attention_pallas(gru_u, gru_i, M, exists)
     A = jnp.tanh(jnp.einsum("bpe,ef,bqf->bpq", gru_i, M, gru_u))

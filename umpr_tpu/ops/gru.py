@@ -120,7 +120,11 @@ def bigru_scan(params, x, lengths):
 
 
 def bigru(params, x, lengths, use_pallas=False):
-    if use_pallas:
+    hidden = params["fwd"]["w_hh"].shape[0]
+    # The Pallas kernels' column blocks are 6H / 2H wide and must be
+    # 128-lane multiples (gcd(3,128)=1 and gcd(2·odd,128) arguments reduce
+    # both conditions to H % 64 == 0); other sizes fall back to the scan.
+    if use_pallas and hidden % 64 == 0:
         from umpr_tpu.ops.gru_pallas import bigru_pallas
         return bigru_pallas(params, x, lengths)
     return bigru_scan(params, x, lengths)
