@@ -192,17 +192,33 @@ def _pack_reviews(review_lists, max_count, max_len):
     Pad sentences get length 1 of <PAD> tokens: this mirrors the reference's
     length clamp max(1, len) (dataset.py:127) so they flow through the GRU
     the same way.
+
+    Vectorized scatter: one flat concatenation of all sentence ids + a
+    single fancy-indexed store (the per-sentence python loop was the
+    hottest stage of corpus-scale dataset builds).
     """
     n = len(review_lists)
     tokens = np.zeros((n, max_count, max_len), dtype=np.int32)
     lengths = np.ones((n, max_count), dtype=np.int32)
-    counts = np.zeros(n, dtype=np.int32)
-    for i, sents in enumerate(review_lists):
-        counts[i] = len(sents)
-        for s, ids in enumerate(sents):
-            L = min(len(ids), max_len)
-            tokens[i, s, :L] = ids[:L]
-            lengths[i, s] = max(1, L)
+    counts = np.fromiter((len(s) for s in review_lists), np.int32, n) \
+        if n else np.zeros(0, np.int32)
+
+    flat_sents = [np.asarray(ids[:max_len], dtype=np.int32)
+                  for sents in review_lists for ids in sents]
+    if not flat_sents:
+        return tokens, lengths, counts
+    lens = np.fromiter((len(s) for s in flat_sents), np.int64, len(flat_sents))
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    sent_idx = np.concatenate([np.arange(c, dtype=np.int64) for c in counts])
+
+    lengths[rows, sent_idx] = np.maximum(lens, 1)
+
+    flat_ids = np.concatenate(flat_sents) if flat_sents else np.zeros(0, np.int32)
+    total = int(lens.sum())
+    starts = np.zeros(len(lens), np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    tokens[np.repeat(rows, lens), np.repeat(sent_idx, lens), pos] = flat_ids
     return tokens, lengths, counts
 
 
