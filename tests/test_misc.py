@@ -68,4 +68,5 @@ def test_review_level_tokenization():
     w2v = FakeW2v(WORDS)
     df = pd.DataFrame({"review": ["great sound. quality album loved melody production"]})
     out = _tokenize_reviews(df, w2v, Cfg)
-    assert len(out[0]) == 1 and len(out[0][0]) == 7  # one unit, 7 tokens
+    docs = out[0] if isinstance(out, tuple) else out  # native path returns (docs, flat)
+    assert len(docs[0]) == 1 and len(docs[0][0]) == 7  # one unit, 7 tokens

@@ -84,3 +84,54 @@ def test_native_speedup():
 
     assert normalize(fast) == ref
     assert t_fast < t_py, f"native ({t_fast:.3f}s) not faster than python ({t_py:.3f}s)"
+
+
+def test_native_histories_match_python(tmp_path):
+    """C++ build_histories_packed vs the python path: identical packed
+    arrays, counts and retain mutations -- including duplicate user-item
+    pairs and rows dropped by min_sent_count."""
+    import pandas as pd
+    import jax
+    from umpr_tpu.data import dataset as d
+    from umpr_tpu.native import fast_build_histories, flatten_tokenized
+
+    rng = np.random.default_rng(3)
+    n = 400
+    users = rng.integers(0, 25, n)
+    items = rng.integers(0, 12, n)
+    users[10] = users[11]; items[10] = items[11]  # duplicate (u, i) pair
+    reviews = []
+    for i in range(n):
+        n_s = int(rng.integers(0, 5))  # some rows have zero sentences
+        reviews.append([list(rng.integers(3, 50, int(rng.integers(6, 15))))
+                        for _ in range(n_s)])
+    df = pd.DataFrame({"user_num": users, "item_num": items})
+
+    S, L, MIN = 6, 16, 3
+    # --- python path ---
+    retain_py = [len(x) > 0 for x in reviews]
+    uh = d._build_histories(df, reviews, retain_py, "user_num", "item_num", MIN, S)
+    ih = d._build_histories(df, reviews, retain_py, "item_num", "user_num", MIN, S)
+    keep = [i for i, r in enumerate(retain_py) if r]
+    ut, ul, uc = d._pack_reviews([uh[i] for i in keep], S, L)
+    it_, il, ic = d._pack_reviews([ih[i] for i in keep], S, L)
+
+    # --- native path ---
+    flat = flatten_tokenized(reviews)
+    retain_nat = np.asarray([len(x) > 0 for x in reviews], np.uint8)
+    up = fast_build_histories(users.astype(np.int64), items.astype(np.int64),
+                              flat, retain_nat, MIN, S, L)
+    if up is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    ip = fast_build_histories(items.astype(np.int64), users.astype(np.int64),
+                              flat, retain_nat, MIN, S, L)
+
+    assert retain_nat.astype(bool).tolist() == retain_py
+    keep_n = np.asarray(keep)
+    np.testing.assert_array_equal(up[0][keep_n], ut)
+    np.testing.assert_array_equal(up[1][keep_n], ul)
+    np.testing.assert_array_equal(up[2][keep_n], uc)
+    np.testing.assert_array_equal(ip[0][keep_n], it_)
+    np.testing.assert_array_equal(ip[1][keep_n], il)
+    np.testing.assert_array_equal(ip[2][keep_n], ic)

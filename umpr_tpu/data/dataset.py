@@ -90,9 +90,10 @@ def _tokenize_reviews(df, word2vec, config):
 
     try:
         from umpr_tpu.native import fast_tokenize_reviews
-        fast = fast_tokenize_reviews(df["review"], word2vec, max_len, sentence_level)
-        if fast is not None:
-            return fast
+        fast = fast_tokenize_reviews(df["review"], word2vec, max_len,
+                                     sentence_level, return_flat=True)
+        if fast is not None and fast[0] is not None:
+            return fast  # (per-doc lists, flat arrays or None)
     except Exception:
         pass
 
@@ -224,7 +225,8 @@ def _pack_reviews(review_lists, max_count, max_len):
 
 def build_dataset(data_path, photo_json, photo_dir, word2vec, config) -> UMPRDataset:
     df = pd.read_csv(data_path)
-    reviews = _tokenize_reviews(df, word2vec, config)
+    tokenized = _tokenize_reviews(df, word2vec, config)
+    reviews, flat = tokenized if isinstance(tokenized, tuple) else (tokenized, None)
 
     retain = [len(x) > 0 for x in reviews]
 
@@ -233,22 +235,47 @@ def build_dataset(data_path, photo_json, photo_dir, word2vec, config) -> UMPRDat
     # already dropped by earlier steps.
     photos = _resolve_photos(photo_json, photo_dir, list(df["itemID"]), retain,
                              config.views, config.photo_count)
-    user_hist = _build_histories(df, reviews, retain, "user_num", "item_num",
-                                 config.min_sent_count, config.max_sent_count)
-    item_hist = _build_histories(df, reviews, retain, "item_num", "user_num",
-                                 config.min_sent_count, config.max_sent_count)
+
+    S, L, S_ui = config.max_sent_count, config.max_sent_length, config.max_ui_sent_count
+    packed = None
+    try:
+        # C++ fast path: history grouping + packing fused (same retain
+        # mutation order as the python path; equivalence-tested).
+        from umpr_tpu.native import fast_build_histories, flatten_tokenized
+        if flat is None:
+            flat = flatten_tokenized(reviews)
+        retain_arr = np.asarray(retain, np.uint8)
+        users = df["user_num"].to_numpy(np.int64)
+        items = df["item_num"].to_numpy(np.int64)
+        u_pack = fast_build_histories(users, items, flat, retain_arr,
+                                      config.min_sent_count, S, L)
+        if u_pack is not None:
+            i_pack = fast_build_histories(items, users, flat, retain_arr,
+                                          config.min_sent_count, S, L)
+            retain = retain_arr.astype(bool).tolist()
+            packed = (u_pack, i_pack)
+    except Exception:
+        packed = None
+
+    if packed is None:
+        user_hist = _build_histories(df, reviews, retain, "user_num", "item_num",
+                                     config.min_sent_count, config.max_sent_count)
+        item_hist = _build_histories(df, reviews, retain, "item_num", "user_num",
+                                     config.min_sent_count, config.max_sent_count)
+
     ui = _build_ui(reviews, retain, config.max_ui_sent_count)
 
     keep = [i for i, r in enumerate(retain) if r]
-    user_hist = [user_hist[i] for i in keep]
-    item_hist = [item_hist[i] for i in keep]
     ui = [ui[i] for i in keep]
     photos = [photos[i] for i in keep]
     ratings = np.asarray([df["rating"].iloc[i] for i in keep], dtype=np.float32)
 
-    S, L, S_ui = config.max_sent_count, config.max_sent_length, config.max_ui_sent_count
-    u_tok, u_len, u_cnt = _pack_reviews(user_hist, S, L)
-    i_tok, i_len, i_cnt = _pack_reviews(item_hist, S, L)
+    if packed is not None:
+        u_tok, u_len, u_cnt = (a[keep] for a in packed[0])
+        i_tok, i_len, i_cnt = (a[keep] for a in packed[1])
+    else:
+        u_tok, u_len, u_cnt = _pack_reviews([user_hist[i] for i in keep], S, L)
+        i_tok, i_len, i_cnt = _pack_reviews([item_hist[i] for i in keep], S, L)
     ui_tok, ui_len, ui_cnt = _pack_reviews(ui, S_ui, L)
 
     photo_arr = np.asarray(photos, dtype=np.str_) if photos else \

@@ -81,11 +81,16 @@ class NativeVocab:
 
 
 def fast_tokenize_reviews(reviews, word2vec, max_len, sentence_level,
-                          keep_gt=5, _vocab_cache={}):
+                          keep_gt=5, return_flat=False, _vocab_cache={}):
     """reviews: iterable of strings -> list (per doc) of lists of id
     sequences (numpy int32 views), same contents as the python
     _tokenize_reviews path.  Returns None if the native library is
-    unavailable (caller falls back)."""
+    unavailable (caller falls back).
+
+    With return_flat=True returns (results, flat) where flat is the
+    (flat_ids, sent_starts, doc_sent_start) triple for the C++ history
+    builder -- free when the corpus is all-ASCII (it IS the tokenizer's own
+    output), None when unicode fallbacks made the layout non-contiguous."""
     if _load() is None:
         return None
     # Cache the built C++ vocab per Word2vec instance.  The entry holds a
@@ -134,6 +139,13 @@ def fast_tokenize_reviews(reviews, word2vec, max_len, sentence_level,
     if n_sents < 0:  # capacity miss (cannot happen with the bounds above)
         return None
 
+    flat = None
+    if return_flat and bool(ascii_mask.all()):
+        doc_sent_start = np.zeros(len(docs) + 1, np.int64)
+        np.cumsum(doc_counts, out=doc_sent_start[1:])
+        flat = (out_ids[:int(sent_starts[n_sents])],
+                sent_starts[:n_sents + 1].copy(), doc_sent_start)
+
     sent_starts = sent_starts[:n_sents + 1].tolist()  # python ints: fast slicing
     doc_counts = doc_counts.tolist()
     results = []
@@ -157,4 +169,64 @@ def fast_tokenize_reviews(reviews, word2vec, max_len, sentence_level,
                  for k in range(cnt)]
         si += cnt
         results.append(sents)
+    if return_flat:
+        return results, flat
     return results
+
+
+def _bind_histories(lib):
+    if hasattr(lib, "_hist_bound"):
+        return
+    lib.build_histories_packed.restype = None
+    lib.build_histories_packed.argtypes = [
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.uint8),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.int32),
+    ]
+    lib._hist_bound = True
+
+
+def flatten_tokenized(reviews):
+    """Per-doc lists of id sequences -> (flat_ids int32, sent_starts int64
+    [n_sents+1], doc_sent_start int64 [n_docs+1]).  Used to feed the C++
+    history builder regardless of which tokenizer path produced the lists."""
+    n_docs = len(reviews)
+    doc_counts = np.fromiter((len(d) for d in reviews), np.int64, n_docs)
+    doc_sent_start = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(doc_counts, out=doc_sent_start[1:])
+    sents = [np.asarray(s, dtype=np.int32) for d in reviews for s in d]
+    lens = np.fromiter((len(s) for s in sents), np.int64, len(sents))
+    sent_starts = np.zeros(len(sents) + 1, np.int64)
+    np.cumsum(lens, out=sent_starts[1:])
+    flat_ids = (np.concatenate(sents) if sents else np.zeros(0, np.int32))
+    return flat_ids, sent_starts, doc_sent_start
+
+
+def fast_build_histories(lead, costar, flat, retain, min_count, max_count,
+                         max_len):
+    """C++ history building + packing (see tokenizer.cpp).  Mutates `retain`
+    (a uint8 numpy array) exactly like the reference's retain_idx.  Returns
+    (tokens (n, max_count, max_len) int32, lengths, counts) for ALL rows;
+    the caller filters by the final retain.  Returns None if the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    _bind_histories(lib)
+    flat_ids, sent_starts, doc_sent_start = flat
+    n = len(lead)
+    tokens = np.zeros((n, max_count, max_len), np.int32)
+    lengths = np.ones((n, max_count), np.int32)
+    counts = np.zeros(n, np.int32)
+    lib.build_histories_packed(
+        np.ascontiguousarray(lead, np.int64),
+        np.ascontiguousarray(costar, np.int64), n,
+        flat_ids, sent_starts, doc_sent_start, retain,
+        min_count, max_count, max_len, tokens.reshape(-1), lengths.reshape(-1),
+        counts)
+    return tokens, lengths, counts

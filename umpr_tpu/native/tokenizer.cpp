@@ -134,3 +134,76 @@ int64_t tokenize_docs(void* vp, const char* buf, const int64_t* doc_offsets,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// History building + packing (reference src/dataset.py:50-73 fused with the
+// static packing step): for each row, gather the sentences every OTHER row
+// of the same lead (user or item) contributes (excluding rows whose costar
+// matches this row's costar), apply the reference's min-count drop and
+// keep-longest truncation (stable sort by descending length,
+// dataset.py:69-71), and write the packed (max_count, max_len) token block
+// directly.  This is the corpus-scale host hot spot (python: dict loops +
+// per-sentence copies).
+
+#include <algorithm>
+
+extern "C" {
+
+// lead/costar: per-row group ids.  Sentences of row k are
+// [doc_sent_start[k], doc_sent_start[k+1]) into sent_starts/flat_ids.
+// retain is read AND written (rows failing min_count are cleared), exactly
+// like the reference's retain_idx mutation.  out_tokens must be zeroed and
+// out_lengths filled with 1 by the caller (pad-sentence semantics).
+void build_histories_packed(
+    const int64_t* lead, const int64_t* costar, int64_t n_rows,
+    const int32_t* flat_ids, const int64_t* sent_starts,
+    const int64_t* doc_sent_start,
+    uint8_t* retain,
+    int32_t min_count, int32_t max_count, int32_t max_len,
+    int32_t* out_tokens, int32_t* out_lengths, int32_t* out_counts) {
+    // group rows by lead id, preserving row order
+    std::unordered_map<int64_t, std::vector<int32_t>> groups;
+    groups.reserve(n_rows * 2);
+    for (int64_t i = 0; i < n_rows; i++)
+        groups[lead[i]].push_back(static_cast<int32_t>(i));
+
+    std::vector<int64_t> sents;  // flat sentence indices for the current row
+    for (int64_t i = 0; i < n_rows; i++) {
+        out_counts[i] = 0;
+        if (!retain[i]) continue;
+
+        sents.clear();
+        for (int32_t j : groups[lead[i]]) {
+            if (costar[j] == costar[i]) continue;  // exclude the u->i review(s)
+            for (int64_t s = doc_sent_start[j]; s < doc_sent_start[j + 1]; s++)
+                sents.push_back(s);
+        }
+        if (static_cast<int64_t>(sents.size()) < min_count) {
+            retain[i] = 0;
+            continue;
+        }
+        if (static_cast<int64_t>(sents.size()) > max_count) {
+            // keep the LONGEST max_count sentences; stable to match
+            // python's list.sort(key=lambda x: -len(x))
+            std::stable_sort(sents.begin(), sents.end(),
+                             [&](int64_t a, int64_t b) {
+                                 return (sent_starts[a + 1] - sent_starts[a]) >
+                                        (sent_starts[b + 1] - sent_starts[b]);
+                             });
+            sents.resize(max_count);
+        }
+        int32_t cnt = static_cast<int32_t>(sents.size());
+        out_counts[i] = cnt;
+        int32_t* tok_row = out_tokens + i * max_count * max_len;
+        int32_t* len_row = out_lengths + i * max_count;
+        for (int32_t s = 0; s < cnt; s++) {
+            int64_t a = sent_starts[sents[s]];
+            int64_t n = sent_starts[sents[s] + 1] - a;
+            if (n > max_len) n = max_len;
+            memcpy(tok_row + s * max_len, flat_ids + a, n * sizeof(int32_t));
+            len_row[s] = n > 1 ? static_cast<int32_t>(n) : 1;
+        }
+    }
+}
+
+}  // extern "C"
