@@ -268,7 +268,7 @@ def build_dataset(data_path, photo_json, photo_dir, word2vec, config) -> UMPRDat
     keep = [i for i, r in enumerate(retain) if r]
     ui = [ui[i] for i in keep]
     photos = [photos[i] for i in keep]
-    ratings = np.asarray([df["rating"].iloc[i] for i in keep], dtype=np.float32)
+    ratings = df["rating"].to_numpy(np.float32)[keep]
 
     if packed is not None:
         u_tok, u_len, u_cnt = (a[keep] for a in packed[0])
