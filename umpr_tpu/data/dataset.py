@@ -240,18 +240,37 @@ def build_dataset(data_path, photo_json, photo_dir, word2vec, config) -> UMPRDat
     packed = None
     try:
         # C++ fast path: history grouping + packing fused (same retain
-        # mutation order as the python path; equivalence-tested).
-        from umpr_tpu.native import fast_build_histories, flatten_tokenized
+        # mutation order as the python path; equivalence-tested).  Two
+        # phases: count-only retain passes settle the final sample set, then
+        # the packed outputs are written COMPACTLY (one slot per retained
+        # row) -- at Yelp/CSJ scale this halves peak RSS vs. full-size
+        # outputs + a fancy-index copy.
+        from umpr_tpu.native import (fast_build_histories, flatten_tokenized,
+                                     histories_retain_pass)
         if flat is None:
             flat = flatten_tokenized(reviews)
         retain_arr = np.asarray(retain, np.uint8)
         users = df["user_num"].to_numpy(np.int64)
         items = df["item_num"].to_numpy(np.int64)
-        u_pack = fast_build_histories(users, items, flat, retain_arr,
-                                      config.min_sent_count, S, L)
-        if u_pack is not None:
+        dss = flat[2]
+        # the C++ count pass packs (lead, costar) into one 64-bit key;
+        # exact only for non-negative ids < 2^31 (always true for the
+        # preprocessor's ngroup ids -- guard for exotic user CSVs)
+        ids_ok = (users.min() >= 0 and items.min() >= 0
+                  and users.max() < 2 ** 31 and items.max() < 2 ** 31)
+        if ids_ok and histories_retain_pass(users, items, dss, retain_arr,
+                                            config.min_sent_count):
+            histories_retain_pass(items, users, dss, retain_arr,
+                                  config.min_sent_count)
+            keep_arr = np.flatnonzero(retain_arr)
+            out_row = np.full(len(retain_arr), -1, np.int64)
+            out_row[keep_arr] = np.arange(len(keep_arr))
+            u_pack = fast_build_histories(users, items, flat, retain_arr,
+                                          config.min_sent_count, S, L,
+                                          out_row, len(keep_arr))
             i_pack = fast_build_histories(items, users, flat, retain_arr,
-                                          config.min_sent_count, S, L)
+                                          config.min_sent_count, S, L,
+                                          out_row, len(keep_arr))
             retain = retain_arr.astype(bool).tolist()
             packed = (u_pack, i_pack)
     except Exception:
@@ -271,8 +290,8 @@ def build_dataset(data_path, photo_json, photo_dir, word2vec, config) -> UMPRDat
     ratings = df["rating"].to_numpy(np.float32)[keep]
 
     if packed is not None:
-        u_tok, u_len, u_cnt = (a[keep] for a in packed[0])
-        i_tok, i_len, i_cnt = (a[keep] for a in packed[1])
+        u_tok, u_len, u_cnt = packed[0]  # already compact (one slot per keep)
+        i_tok, i_len, i_cnt = packed[1]
     else:
         u_tok, u_len, u_cnt = _pack_reviews([user_hist[i] for i in keep], S, L)
         i_tok, i_len, i_cnt = _pack_reviews([item_hist[i] for i in keep], S, L)

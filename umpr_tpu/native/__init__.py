@@ -177,18 +177,39 @@ def fast_tokenize_reviews(reviews, word2vec, max_len, sentence_level,
 def _bind_histories(lib):
     if hasattr(lib, "_hist_bound"):
         return
+    lib.histories_retain_pass.restype = None
+    lib.histories_retain_pass.argtypes = [
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_int64, np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.uint8), ctypes.c_int32,
+    ]
     lib.build_histories_packed.restype = None
     lib.build_histories_packed.argtypes = [
         np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
         ctypes.c_int64,
         np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int64),
         np.ctypeslib.ndpointer(np.int64),
-        np.ctypeslib.ndpointer(np.uint8),
+        np.ctypeslib.ndpointer(np.uint8), np.ctypeslib.ndpointer(np.int64),
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
         np.ctypeslib.ndpointer(np.int32),
     ]
     lib._hist_bound = True
+
+
+def histories_retain_pass(lead, costar, doc_sent_start, retain, min_count):
+    """Count-only pass: clears retain for rows with < min_count history
+    sentences (no output allocation).  Mutates retain.  Returns False if
+    the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return False
+    _bind_histories(lib)
+    lib.histories_retain_pass(
+        np.ascontiguousarray(lead, np.int64),
+        np.ascontiguousarray(costar, np.int64), len(lead),
+        doc_sent_start, retain, min_count)
+    return True
 
 
 def flatten_tokenized(reviews):
@@ -208,25 +229,32 @@ def flatten_tokenized(reviews):
 
 
 def fast_build_histories(lead, costar, flat, retain, min_count, max_count,
-                         max_len):
+                         max_len, out_row=None, n_out=None):
     """C++ history building + packing (see tokenizer.cpp).  Mutates `retain`
-    (a uint8 numpy array) exactly like the reference's retain_idx.  Returns
-    (tokens (n, max_count, max_len) int32, lengths, counts) for ALL rows;
-    the caller filters by the final retain.  Returns None if the native
-    library is unavailable."""
+    (a uint8 numpy array) exactly like the reference's retain_idx.
+
+    Without out_row: outputs have one slot per input row (caller filters by
+    the final retain).  With out_row (int64, -1 = skip) and n_out: outputs
+    are written compactly -- the low-RSS path for corpus-scale builds.
+    Returns (tokens, lengths, counts) or None if the library is
+    unavailable."""
     lib = _load()
     if lib is None:
         return None
     _bind_histories(lib)
     flat_ids, sent_starts, doc_sent_start = flat
     n = len(lead)
-    tokens = np.zeros((n, max_count, max_len), np.int32)
-    lengths = np.ones((n, max_count), np.int32)
-    counts = np.zeros(n, np.int32)
+    if out_row is None:
+        out_row = np.arange(n, dtype=np.int64)
+        n_out = n
+    tokens = np.zeros((n_out, max_count, max_len), np.int32)
+    lengths = np.ones((n_out, max_count), np.int32)
+    counts = np.zeros(n_out, np.int32)
     lib.build_histories_packed(
         np.ascontiguousarray(lead, np.int64),
         np.ascontiguousarray(costar, np.int64), n,
         flat_ids, sent_starts, doc_sent_start, retain,
+        np.ascontiguousarray(out_row, np.int64),
         min_count, max_count, max_len, tokens.reshape(-1), lengths.reshape(-1),
         counts)
     return tokens, lengths, counts

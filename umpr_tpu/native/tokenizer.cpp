@@ -149,16 +149,49 @@ int64_t tokenize_docs(void* vp, const char* buf, const int64_t* doc_offsets,
 
 extern "C" {
 
+// Count-only retain pass: clears retain for rows whose history would have
+// fewer than min_count sentences (no token copies, no sorting -- used to
+// size the compact output before build_histories_packed fills it).
+void histories_retain_pass(
+    const int64_t* lead, const int64_t* costar, int64_t n_rows,
+    const int64_t* doc_sent_start, uint8_t* retain, int32_t min_count) {
+    // count(i) = group_total(lead_i) - sum over rows with costar == costar_i;
+    // computed with per-group + per-(group,costar) sums: O(n) total instead
+    // of O(sum G^2).
+    std::unordered_map<int64_t, int64_t> group_total;
+    std::unordered_map<uint64_t, int64_t> pair_total;
+    group_total.reserve(n_rows * 2);
+    pair_total.reserve(n_rows * 2);
+    // EXACT composite key: group ids are pandas ngroup indices (< n_rows
+    // < 2^31, non-negative), so (a << 32) | b is collision-free.
+    auto pair_key = [](int64_t a, int64_t b) {
+        return (static_cast<uint64_t>(a) << 32) | static_cast<uint32_t>(b);
+    };
+    for (int64_t i = 0; i < n_rows; i++) {
+        int64_t c = doc_sent_start[i + 1] - doc_sent_start[i];
+        group_total[lead[i]] += c;
+        pair_total[pair_key(lead[i], costar[i])] += c;
+    }
+    for (int64_t i = 0; i < n_rows; i++) {
+        if (!retain[i]) continue;
+        int64_t total = group_total[lead[i]]
+                        - pair_total[pair_key(lead[i], costar[i])];
+        if (total < min_count) retain[i] = 0;
+    }
+}
+
 // lead/costar: per-row group ids.  Sentences of row k are
 // [doc_sent_start[k], doc_sent_start[k+1]) into sent_starts/flat_ids.
 // retain is read AND written (rows failing min_count are cleared), exactly
 // like the reference's retain_idx mutation.  out_tokens must be zeroed and
 // out_lengths filled with 1 by the caller (pad-sentence semantics).
+// out_row maps each input row to its output slot (-1 = skip): identity for
+// the simple path, compacted when the caller pre-ran histories_retain_pass.
 void build_histories_packed(
     const int64_t* lead, const int64_t* costar, int64_t n_rows,
     const int32_t* flat_ids, const int64_t* sent_starts,
     const int64_t* doc_sent_start,
-    uint8_t* retain,
+    uint8_t* retain, const int64_t* out_row,
     int32_t min_count, int32_t max_count, int32_t max_len,
     int32_t* out_tokens, int32_t* out_lengths, int32_t* out_counts) {
     // group rows by lead id, preserving row order
@@ -169,8 +202,9 @@ void build_histories_packed(
 
     std::vector<int64_t> sents;  // flat sentence indices for the current row
     for (int64_t i = 0; i < n_rows; i++) {
-        out_counts[i] = 0;
-        if (!retain[i]) continue;
+        int64_t o = out_row[i];
+        if (!retain[i] || o < 0) continue;
+        out_counts[o] = 0;
 
         sents.clear();
         for (int32_t j : groups[lead[i]]) {
@@ -193,9 +227,9 @@ void build_histories_packed(
             sents.resize(max_count);
         }
         int32_t cnt = static_cast<int32_t>(sents.size());
-        out_counts[i] = cnt;
-        int32_t* tok_row = out_tokens + i * max_count * max_len;
-        int32_t* len_row = out_lengths + i * max_count;
+        out_counts[o] = cnt;
+        int32_t* tok_row = out_tokens + o * max_count * max_len;
+        int32_t* len_row = out_lengths + o * max_count;
         for (int32_t s = 0; s < cnt; s++) {
             int64_t a = sent_starts[sents[s]];
             int64_t n = sent_starts[sents[s] + 1] - a;
