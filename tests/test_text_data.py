@@ -165,3 +165,45 @@ def test_eval_partial_batch_equals_reference_semantics():
     # numeric drift vs the grouped batches is expected (reference behaves
     # the same way across different batch splits); compare loosely.
     assert abs(mse - sq / cnt) < 0.15 * max(1.0, abs(mse))
+
+
+def test_cli_surface_covers_reference_config():
+    """Every reference hyperparameter flag must exist on our Config
+    (reference config.py:7-39), so reference command lines keep working."""
+    ref_attrs = [
+        "multi_gpu", "train_epochs", "batch_size", "learning_rate",
+        "l2_regularization", "lr_decay", "word2vec_file", "data_dir",
+        "log_path", "model_path", "test_only", "review_net_only",
+        "review_level", "max_sent_count", "min_sent_count",
+        "max_ui_sent_count", "max_sent_length", "views", "photo_count",
+        "gru_size", "self_atte_size", "kernel_count", "kernel_size",
+        "threshold", "loss_v_rate", "device",
+    ]
+    cfg = Config(argv=[])
+    for name in ref_attrs:
+        assert hasattr(cfg, name), f"missing reference flag --{name}"
+
+
+def test_loader_multiworker_photo_decode(tmp_path):
+    """workers>0 decode path (ThreadPoolExecutor) yields identical batches
+    to the synchronous path."""
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+    from tests.test_checkpoint_loader import small_dataset
+    from umpr_tpu.data.loader import BatchLoader
+
+    ds = small_dataset(n=8)
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"{i}.jpg")
+        cv2.imwrite(p, rng.integers(0, 255, (80, 90, 3)).astype(np.uint8))
+        paths.append(p)
+    ds.photo_paths = np.asarray(
+        [[[paths[i % 4]]] for i in range(8)], dtype=np.str_)
+
+    sync = list(BatchLoader(ds, 4, ignore_photos=False, photo_cache_bytes=0))
+    multi = list(BatchLoader(ds, 4, ignore_photos=False, workers=3,
+                             photo_cache_bytes=0))
+    for a, b in zip(sync, multi):
+        np.testing.assert_array_equal(a["photos"], b["photos"])
