@@ -84,3 +84,35 @@ def test_fit_test_resume(corpus_dir, tmp_path):
     assert trainer2.batch_counter == trainer.batch_counter
     trainer2.fit(train_ds, valid_ds, model_dir)
     assert trainer2.batch_counter > trainer.batch_counter
+
+
+def test_multi_step_dispatch_equals_single(corpus_dir, tmp_path):
+    """steps_per_dispatch=4 must produce the same parameters and losses as
+    single-step dispatch (same update order, same rng folding)."""
+    import jax
+    from umpr_tpu.train import checkpoint as ckpt
+    from umpr_tpu.models.umpr import init_umpr
+
+    def run(k, seed_dir):
+        cfg = Config(argv=["--device", "cpu", "--review_net_only", "True",
+                           "--batch_size", "8", "--train_epochs", "1",
+                           "--eval_every", "8", "--learning_rate", "0.01",
+                           "--min_sent_count", "1", "--seed", "2",
+                           "--cache_dataset", "False",
+                           "--steps_per_dispatch", str(k)])
+        logger = get_logger(logger_name=f"msd-{k}")
+        w2v = Word2vec(str(corpus_dir / "glove.txt"))
+        mk = lambda split: build_dataset(str(corpus_dir / f"{split}.csv"),
+                                         str(corpus_dir / "photos.json"),
+                                         str(corpus_dir / "photos"), w2v, cfg)
+        trainer = Trainer(cfg, logger, w2v)
+        trainer.fit(mk("train"), mk("valid"), str(tmp_path / seed_dir))
+        return trainer
+
+    t1 = run(1, "m1")
+    t4 = run(4, "m4")
+    assert t1.batch_counter == t4.batch_counter
+    import jax.numpy as jnp
+    for a, b in zip(jax.tree.leaves(t1.trainable), jax.tree.leaves(t4.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -62,6 +62,9 @@ class Config:
     eval_every = 500  # validation cadence in batches (reference hard-codes 500, main.py:43).
     max_batches = 50000  # hard stop on total batches (reference hard-codes 50000, main.py:56).
     prefetch_depth = 2  # host pipeline look-ahead batches (device double buffering).
+    steps_per_dispatch = 1  # train steps per jit dispatch (lax.scan over stacked
+                            # batches); amortizes per-dispatch host latency on
+                            # remote-attached TPUs. Must divide eval_every.
     data_workers = 0  # image-decode worker threads (0 = synchronous).
     photo_cache_mb = 2048  # decoded-photo LRU cache (0 disables); item photos
                            # recur in every sample of that item, so the cache

@@ -42,6 +42,41 @@ def make_train_step(dims, tx, donate=True):
     return jax.jit(train_step, donate_argnums=(0, 2) if donate else ())
 
 
+def make_multi_train_step(dims, tx, donate=True):
+    """K train steps per dispatch: batches stacked on a leading axis,
+    lax.scan applies them sequentially on-device.  Numerically identical to
+    K single dispatches (same update order); amortizes per-dispatch host
+    latency, which dominates through-trainer throughput on remote-attached
+    TPUs (this machine's relay adds ~10-30 ms per call).
+
+    Only FULL chunks may be dispatched: a dead batch would still apply the
+    weight-decay part of the update.  The trainer handles remainders with
+    the single-step path."""
+
+    def loss_fn(trainable, frozen, batch, dropout_rng):
+        params = merge_params(trainable, frozen)
+        pred, loss, aux = umpr_forward(params, batch, dims, train=True,
+                                       dropout_rng=dropout_rng)
+        return loss, (pred, aux)
+
+    def multi_step(trainable, frozen, opt_state, batches, lr, dropout_rngs):
+        def body(carry, inp):
+            trainable, opt_state = carry
+            batch, rng = inp
+            (loss, (pred, aux)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(trainable, frozen, batch, rng)
+            updates, opt_state = tx.update(grads, opt_state, trainable)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            trainable = optax.apply_updates(trainable, updates)
+            return (trainable, opt_state), (loss, jnp.sum(batch["sample_mask"]))
+
+        (trainable, opt_state), (losses, n_reals) = jax.lax.scan(
+            body, (trainable, opt_state), (batches, dropout_rngs))
+        return trainable, opt_state, jnp.sum(losses * n_reals), jnp.sum(n_reals)
+
+    return jax.jit(multi_step, donate_argnums=(0, 2) if donate else ())
+
+
 def make_eval_step(dims):
     def eval_step(trainable, frozen, batch):
         params = merge_params(trainable, frozen)

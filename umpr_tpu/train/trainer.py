@@ -13,6 +13,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from tqdm import tqdm
 
@@ -22,7 +23,8 @@ from umpr_tpu.parallel.mesh import make_mesh, replicated, batch_sharded
 from umpr_tpu.train import checkpoint as ckpt
 from umpr_tpu.train.optim import (make_optimizer, split_frozen, merge_params,
                                   lr_at_epoch)
-from umpr_tpu.train.step import make_train_step, make_eval_step, evaluate_mse
+from umpr_tpu.train.step import (make_train_step, make_multi_train_step,
+                                 make_eval_step, evaluate_mse)
 
 
 class Trainer:
@@ -88,6 +90,15 @@ class Trainer:
         self.opt_state = jax.device_put(self.tx.init(self.trainable), self.rep)
         self.train_step = make_train_step(self.dims, self.tx)
         self.eval_step = make_eval_step(self.dims)
+        self.k_dispatch = max(1, config.steps_per_dispatch)
+        if self.k_dispatch > 1:
+            assert config.eval_every % self.k_dispatch == 0, (
+                "steps_per_dispatch must divide eval_every (keeps the "
+                "per-500-batch eval cadence exact)")
+            self.multi_step = make_multi_train_step(self.dims, self.tx)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            # stacked chunks are (k, B, ...): batch axis is axis 1
+            self.dp_stacked = NamedSharding(self.mesh, P(None, "dp"))
 
         self.batch_counter = 0
         self.start_epoch = 0
@@ -120,6 +131,37 @@ class Trainer:
         return prefetch_to_device(iter(loader), self.dp,
                                   depth=self.config.prefetch_depth)
 
+    def _train_stream(self, loader):
+        """Yields ("single", device_batch) or ("chunk", (stacked, k)) items;
+        chunks are k host batches stacked on a new leading axis and shipped
+        in one transfer for the multi-step dispatch path.  Remainders that
+        cannot fill a chunk run as single steps (a dead batch inside a scan
+        would still apply weight decay)."""
+        k = self.k_dispatch
+        if k == 1:
+            for b in self._device_batches(loader):
+                yield ("single", b)
+            return
+
+        from umpr_tpu.data.loader import prefetch_iter
+
+        def gen():
+            buf = []
+            for hb in iter(loader):
+                buf.append(hb)
+                if len(buf) == k:
+                    stacked = {key: np.stack([b[key] for b in buf])
+                               for key in buf[0]}
+                    dev = {key: jax.device_put(v, self.dp_stacked)
+                           for key, v in stacked.items()}
+                    yield ("chunk", (dev, k))
+                    buf = []
+            for hb in buf:
+                yield ("single", {key: jax.device_put(v, self.dp)
+                                  for key, v in hb.items()})
+
+        yield from prefetch_iter(gen(), depth=self.config.prefetch_depth)
+
     def _progress(self, it, desc, total):
         """tqdm progress like the reference (main.py:31, evaluate.py:10);
         silent when stderr is not a terminal."""
@@ -149,23 +191,16 @@ class Trainer:
             # reference's loss.item() per batch, main.py:39); we only sync
             # at logging points.
             total_loss, total_samples = 0.0, 0.0
-            for batch in self._progress(self._device_batches(train_loader),
-                                        f"Training epoch {epoch}",
-                                        len(train_loader)):
-                if cfg.profile_dir and not profiled and self.batch_counter == 2:
-                    jax.profiler.start_trace(cfg.profile_dir)
-                rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), self.batch_counter)
-                self.trainable, self.opt_state, loss, aux = self.train_step(
-                    self.trainable, self.frozen, self.opt_state, batch,
-                    lr, rng)
-                total_loss = total_loss + loss * aux["n_real"]
-                total_samples = total_samples + aux["n_real"]
 
-                if cfg.profile_dir and not profiled and self.batch_counter == 6:
-                    jax.profiler.stop_trace()
+            def after_steps(n_steps):
+                nonlocal total_loss, total_samples, profiled
+                self.batch_counter += n_steps
+                if cfg.profile_dir and not profiled and self.batch_counter >= 6:
+                    try:
+                        jax.profiler.stop_trace()
+                    except Exception:
+                        pass
                     profiled = True
-
-                self.batch_counter += 1
                 if self.batch_counter % cfg.eval_every == 0:
                     valid_mse = self._evaluate(valid_loader)
                     logger.info(f"\rEpoch {epoch:2d}; batch {self.batch_counter:5d}; "
@@ -174,6 +209,38 @@ class Trainer:
                     if self.best_loss > valid_mse:
                         ckpt.save_best(model_path, merge_params(self.trainable, self.frozen))
                         self.best_loss = valid_mse
+
+            started_profile = False
+            for item in self._progress(self._train_stream(train_loader),
+                                       f"Training epoch {epoch}",
+                                       len(train_loader)):
+                if (cfg.profile_dir and not profiled and not started_profile
+                        and self.batch_counter >= 2):
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    started_profile = True
+                kind, payload = item
+                if kind == "chunk":
+                    batches, k = payload
+                    rngs = jnp.stack([
+                        jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                           self.batch_counter + j)
+                        for j in range(k)])
+                    self.trainable, self.opt_state, loss_sum, n_sum = self.multi_step(
+                        self.trainable, self.frozen, self.opt_state, batches,
+                        lr, rngs)
+                    total_loss = total_loss + loss_sum
+                    total_samples = total_samples + n_sum
+                    after_steps(k)
+                else:
+                    batch = payload
+                    rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                             self.batch_counter)
+                    self.trainable, self.opt_state, loss, aux = self.train_step(
+                        self.trainable, self.frozen, self.opt_state, batch,
+                        lr, rng)
+                    total_loss = total_loss + loss * aux["n_real"]
+                    total_samples = total_samples + aux["n_real"]
+                    after_steps(1)
 
             logger.info(f"Epoch {epoch:3d} done; train loss "
                         f"{float(total_loss) / max(float(total_samples), 1.0):.6f}")
