@@ -52,7 +52,9 @@ def main():
                   f"(set test_only=False in config.py)!")
             sys.exit(-1)
     else:
-        save_name = os.path.basename(config.data_dir.strip("/")) + (
+        # abspath so `--data_dir .` names the run after the real directory
+        # (the reference's basename(".") yields a hidden ".<stamp>" dir)
+        save_name = os.path.basename(os.path.abspath(config.data_dir)) + (
             "_review_net" if config.review_net_only else "")
         stamp = date("%Y%m%d_%H%M%S")
         config.log_path = config.log_path or f"./log/{save_name}{stamp}.txt"

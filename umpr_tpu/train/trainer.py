@@ -194,6 +194,7 @@ class Trainer:
 
             def after_steps(n_steps):
                 nonlocal total_loss, total_samples, profiled
+                before = self.batch_counter
                 self.batch_counter += n_steps
                 if cfg.profile_dir and not profiled and self.batch_counter >= 6:
                     try:
@@ -201,7 +202,9 @@ class Trainer:
                     except Exception:
                         pass
                     profiled = True
-                if self.batch_counter % cfg.eval_every == 0:
+                # "crossed an eval_every multiple" (not ==0): epoch-end chunk
+                # remainders can misalign the counter from multiples of k
+                if self.batch_counter // cfg.eval_every > before // cfg.eval_every:
                     valid_mse = self._evaluate(valid_loader)
                     logger.info(f"\rEpoch {epoch:2d}; batch {self.batch_counter:5d}; "
                                 f"train loss {float(total_loss) / float(total_samples):.6f}; "
