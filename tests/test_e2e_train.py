@@ -116,3 +116,42 @@ def test_multi_step_dispatch_equals_single(corpus_dir, tmp_path):
     for a, b in zip(jax.tree.leaves(t1.trainable), jax.tree.leaves(t4.trainable)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_serve_cli_end_to_end(corpus_dir, tmp_path):
+    """umpr_tpu.serve CLI: train a tiny model, score a rating-less pairs
+    CSV, check the output mapping (scored + unscorable rows)."""
+    import pandas as pd
+    from umpr_tpu import serve
+
+    cfg_args = ["--device", "cpu", "--review_net_only", "True",
+                "--batch_size", "8", "--train_epochs", "1",
+                "--eval_every", "4", "--learning_rate", "0.01",
+                "--min_sent_count", "1", "--seed", "2",
+                "--cache_dataset", "False"]
+    cfg = Config(argv=cfg_args)
+    logger = get_logger(logger_name="serve-e2e")
+    w2v = Word2vec(str(corpus_dir / "glove.txt"))
+    mk = lambda split: build_dataset(str(corpus_dir / f"{split}.csv"),
+                                     str(corpus_dir / "photos.json"),
+                                     str(corpus_dir / "photos"), w2v, cfg)
+    model_dir = str(tmp_path / "m")
+    Trainer(cfg, logger, w2v).fit(mk("train"), mk("valid"), model_dir)
+
+    pairs = pd.read_csv(corpus_dir / "test.csv").head(20)
+    pairs = pairs.drop(columns=["rating"])  # rating-less input
+    pairs_path = str(tmp_path / "pairs.csv")
+    pairs.to_csv(pairs_path, index=False)
+    out_path = str(tmp_path / "preds.csv")
+
+    serve.main(["--input", pairs_path, "--output", out_path,
+                "--data_dir", str(corpus_dir),
+                "--word2vec_file", str(corpus_dir / "glove.txt"),
+                "--model_path", model_dir] + cfg_args)
+
+    out = pd.read_csv(out_path)
+    assert list(out.columns) == ["userID", "itemID", "prediction"]
+    assert len(out) == len(pairs)
+    scored = out["prediction"].notna()
+    assert scored.any()
+    assert (out.loc[scored, "prediction"] >= 0).all()
