@@ -245,6 +245,14 @@ class Trainer:
                     total_samples = total_samples + aux["n_real"]
                     after_steps(1)
 
+            if started_profile and not profiled:
+                # short epoch: close the trace rather than leaving it open
+                try:
+                    jax.profiler.stop_trace()
+                except Exception:
+                    pass
+                profiled = True
+
             logger.info(f"Epoch {epoch:3d} done; train loss "
                         f"{float(total_loss) / max(float(total_samples), 1.0):.6f}")
             ckpt.save_last(model_path, self.trainable, self.opt_state,
