@@ -86,3 +86,32 @@ def test_full_umpr_parity():
         ref_pred, ref_loss = model(*batch_to_reference(batch))
     np.testing.assert_allclose(ours_pred, ref_pred.numpy(), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(ours_loss, float(ref_loss), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("case", [
+    dict(B=3, S=3, L=7, S_ui=1, seed=10),
+    dict(B=8, S=10, L=20, S_ui=5, seed=11),
+    dict(B=2, S=12, L=9, S_ui=4, seed=12),
+    dict(B=6, S=5, L=16, S_ui=2, seed=13),
+])
+def test_review_parity_shape_fuzz(case):
+    """Exists-mask machinery across assorted shapes and runtime batch
+    maxima: forward parity with the (bug-fixed) reference must hold for
+    every configuration, not just the defaults."""
+    ref = import_reference_model()
+    patch_improved_rnn(ref)
+    seed = case.pop("seed")
+    rng = np.random.default_rng(seed)
+    batch = random_batch(rng, vocab=60, emb=12, **case)
+    dims = ModelDims(review_net_only=True, gru_size=32, self_atte_size=16)
+    params = init_umpr(jax.random.PRNGKey(seed), dims,
+                       rng.standard_normal((60, 12)).astype(np.float32))
+
+    ours_pred, ours_loss = run_ours(params, batch, dims)
+    cfg = RefConfig(review_net_only=True, gru_size=32, self_atte_size=16)
+    model = load_umpr(ref, params, cfg)
+    model.eval()
+    with torch.no_grad():
+        ref_pred, ref_loss = model(*batch_to_reference(batch))
+    np.testing.assert_allclose(ours_pred, ref_pred.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ours_loss, float(ref_loss), rtol=1e-4, atol=1e-5)
