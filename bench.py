@@ -118,18 +118,21 @@ def bench_torch_cpu(batch_np, steps=3):
     opt.step()
 
     evals = max(steps // 5, 1)  # same 5:1 train:eval mix as the TPU cycle
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        opt.zero_grad()
-        _, loss = model(*args)
-        loss.backward()
-        opt.step()
-    model.eval()
-    with torch.no_grad():
-        for _ in range(evals):
-            model(*args)
-    dt = time.perf_counter() - t0
-    return B * (steps + evals) / dt
+    best = 0.0
+    for _ in range(2):  # best-of-2: this 1-vCPU host has 25%+ timing noise
+        model.train()
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            opt.zero_grad()
+            _, loss = model(*args)
+            loss.backward()
+            opt.step()
+        model.eval()
+        with torch.no_grad():
+            for _ in range(evals):
+                model(*args)
+        best = max(best, B * (steps + evals) / (time.perf_counter() - t0))
+    return best
 
 
 def main():
