@@ -17,10 +17,11 @@ forward, per sample:
     soft_i = softmax(max over rows of At, over existing cols)
     atte_u = soft_u @ U;  atte_i = soft_i @ I
 
-backward, per sample: rematerialize A/At (no residuals), route the max
-gradients by equality with tie-splitting (matching jax's max-reduction vjp),
-then two (P, P) @ (P, D) contractions per half; dI/dM fold out of dT with
-large XLA matmuls outside the kernel.
+backward: the forward kernel also emits each column's max value and FIRST
+argmax row (tiny (B, P) residuals), so the backward needs no (P, P)-shaped
+work at all -- per half it is one gather + one batched scatter-add in XLA
+(argmax routing, matching torch.max's vjp; ties differ from jnp.max's
+tie-splitting only on exact ties).
 
 Both P (= S*L) and B are padded to tile multiples in the wrapper; padded
 positions carry exists=0 and are excluded everywhere.  Verified against the
@@ -39,7 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 from umpr_tpu.ops.masking import NEG_INF
 
 SAMPLES_FWD = 4   # samples per grid step (VMEM-bound)
-SAMPLES_BWD = 2
 
 
 def _interpret():
@@ -55,83 +55,48 @@ def _masked_softmax_row(scores, e_col):
 
 
 def _half_forward(T, U, other, e_row, e_col):
-    """One direction: A = tanh(T @ U^T); returns (soft (1,P), atte (1,D))."""
+    """One direction: A = tanh(T @ U^T).
+
+    Returns (soft (1,P), atte (1,D), colmax (1,P), argmax (1,P) int32).
+    colmax/argmax are the backward pass's residuals: the max gradient routes
+    to one (row, col) position per column, so the backward needs no (P,P)
+    recompute at all (first-argmax routing, matching torch.max's vjp)."""
     A = jnp.tanh(jax.lax.dot_general(T, U, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32))
     A_m = jnp.where(e_row > 0, A, NEG_INF)      # mask nonexistent rows
     colmax = jnp.max(A_m, axis=0, keepdims=True)  # (1, P)
+    rows = jax.lax.broadcasted_iota(jnp.int32, A.shape, 0)
+    amax = jnp.min(jnp.where(A_m == colmax, rows, jnp.int32(1 << 30)),
+                   axis=0, keepdims=True)       # first argmax per column
     soft = _masked_softmax_row(colmax, e_col)
     atte = jnp.dot(soft, other, preferred_element_type=jnp.float32)  # (1, D)
-    return soft, atte
+    return soft, atte, colmax, amax
 
 
 def _fwd_kernel(t_ref, u_ref, i_ref, erow_ref, ecol_ref,
-                su_ref, si_ref, au_ref, ai_ref, *, samples):
+                su_ref, si_ref, au_ref, ai_ref, cmu_ref, cmi_ref,
+                amu_ref, ami_ref, *, samples):
     e_row, e_col = erow_ref[:], ecol_ref[:]
     for s in range(samples):
         # u-direction: A = tanh(T U^T); i-direction via A^T = tanh(U T^T)
-        soft_u, atte_u = _half_forward(t_ref[s], u_ref[s], u_ref[s], e_row, e_col)
-        soft_i, atte_i = _half_forward(u_ref[s], t_ref[s], i_ref[s], e_row, e_col)
+        soft_u, atte_u, cm_u, am_u = _half_forward(
+            t_ref[s], u_ref[s], u_ref[s], e_row, e_col)
+        soft_i, atte_i, cm_i, am_i = _half_forward(
+            u_ref[s], t_ref[s], i_ref[s], e_row, e_col)
         su_ref[s] = soft_u
         si_ref[s] = soft_i
         au_ref[s] = atte_u
         ai_ref[s] = atte_i
+        cmu_ref[s] = cm_u
+        cmi_ref[s] = cm_i
+        amu_ref[s] = am_u
+        ami_ref[s] = am_i
 
 
-def _softmax_vjp(soft, dsoft):
-    """(1, P) softmax backward."""
+def _softmax_vjp_b(soft, dsoft):
+    """(B, P) softmax backward."""
     inner = jnp.sum(dsoft * soft, axis=1, keepdims=True)
     return soft * (dsoft - inner)
-
-
-def _half_backward(T, U, e_row, e_col, g):
-    """Backward of one direction's max+tanh chain.
-
-    g: (1, P) gradient at the (masked) colmax.  Returns dT, dU contributions
-    from this half's A = tanh(T @ U^T)."""
-    pre = jax.lax.dot_general(T, U, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    A = jnp.tanh(pre)
-    A_m = jnp.where(e_row > 0, A, NEG_INF)
-    colmax = jnp.max(A_m, axis=0, keepdims=True)
-    eq = (A_m == colmax).astype(jnp.float32)          # ties split evenly,
-    counts = jnp.sum(eq, axis=0, keepdims=True)       # matching jax's max vjp
-    dA = eq * (g / counts)
-    dpre = dA * (1.0 - A * A)
-    dT = jnp.dot(dpre, U, preferred_element_type=jnp.float32)
-    dU = jax.lax.dot_general(dpre, T, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    return dT, dU
-
-
-def _bwd_kernel(t_ref, u_ref, i_ref, erow_ref, ecol_ref,
-                su_ref, si_ref, dsu_ref, dsi_ref, dau_ref, dai_ref,
-                dt_ref, du_ref, di_ref, *, samples):
-    e_row, e_col = erow_ref[:], ecol_ref[:]
-    for s in range(samples):
-        T, U, I = t_ref[s], u_ref[s], i_ref[s]
-        soft_u, soft_i = su_ref[s], si_ref[s]
-        dau, dai = dau_ref[s], dai_ref[s]
-
-        # atte_u = soft_u @ U ; atte_i = soft_i @ I
-        dsu = dsu_ref[s] + jax.lax.dot_general(
-            dau, U, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        dsi = dsi_ref[s] + jax.lax.dot_general(
-            dai, I, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        dU = jax.lax.dot_general(soft_u, dau, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # (P,1)x(1,D)
-        dI = jax.lax.dot_general(soft_i, dai, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-
-        g_u = _softmax_vjp(soft_u, dsu)   # (1, P), zero at masked positions
-        g_i = _softmax_vjp(soft_i, dsi)
-
-        dT1, dU1 = _half_backward(T, U, e_row, e_col, g_u)
-        dU2, dT2 = _half_backward(U, T, e_row, e_col, g_i)  # A^T half
-
-        dt_ref[s] = dT1 + dT2
-        du_ref[s] = dU + dU1 + dU2
-        di_ref[s] = dI
 
 
 def _pad(x, n, axis):
@@ -157,37 +122,22 @@ def _forward(T, U, I, e, B, P, D):
         kernel,
         grid=(B // SAMPLES_FWD,),
         in_specs=[big, big, big, full, full],
-        out_specs=[vec_p, vec_p, vec_d, vec_d],
+        out_specs=[vec_p, vec_p, vec_d, vec_d, vec_p, vec_p, vec_p, vec_p],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, P), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, P), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, P), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, P), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * P * P * D, bytes_accessed=4 * B * P * D * 3,
             transcendentals=2 * B * P * P),
         interpret=_interpret(),
     )(T, U, I, e_row, e_col)
-
-
-def _backward(T, U, I, e, soft_u, soft_i, dsu, dsi, dau, dai, B, P, D):
-    big, vec_p, vec_d, full = _specs(SAMPLES_BWD, P, D)
-    e_row = e.reshape(P, 1)
-    e_col = e.reshape(1, P)
-    kernel = functools.partial(_bwd_kernel, samples=SAMPLES_BWD)
-    return pl.pallas_call(
-        kernel,
-        grid=(B // SAMPLES_BWD,),
-        in_specs=[big, big, big, full, full, vec_p, vec_p, vec_p, vec_p,
-                  vec_d, vec_d],
-        out_specs=[big, big, big],
-        out_shape=[jax.ShapeDtypeStruct((B, P, D), jnp.float32)] * 3,
-        cost_estimate=pl.CostEstimate(
-            flops=6 * 2 * B * P * P * D, bytes_accessed=4 * B * P * D * 6,
-            transcendentals=2 * B * P * P),
-        interpret=_interpret(),
-    )(T, U, I, e_row, e_col, soft_u, soft_i, dsu, dsi, dau, dai)
 
 
 @jax.custom_vjp
@@ -213,10 +163,10 @@ def _prep(gru_u, gru_i, M, exists):
 
 def _fwd_impl(gru_u, gru_i, M, exists):
     U, Ifull, T, e, B, P, D, B0, P0, dtype = _prep(gru_u, gru_i, M, exists)
-    su, si, au, ai = _forward(T, U, Ifull, e, B, P, D)
+    su, si, au, ai, cmu, cmi, amu, ami = _forward(T, U, Ifull, e, B, P, D)
     out = (su[:B0, 0, :P0].astype(dtype), si[:B0, 0, :P0].astype(dtype),
            au[:B0, 0].astype(dtype), ai[:B0, 0].astype(dtype))
-    return out, (gru_u, gru_i, M, exists, su, si)
+    return out, (gru_u, gru_i, M, exists, su, si, cmu, cmi, amu, ami)
 
 
 def _vjp_fwd(gru_u, gru_i, M, exists):
@@ -225,17 +175,45 @@ def _vjp_fwd(gru_u, gru_i, M, exists):
 
 
 def _vjp_bwd(res, grads):
-    gru_u, gru_i, M, exists, su, si = res
+    """Backward without any (P,P)-shaped work: the max gradient routes to
+    one saved argmax position per column, so each half is one gather + one
+    scatter-add over (B, P, D) tensors (plus the softmax/atte chain).
+    First-argmax routing matches torch.max's vjp; jnp.max tie-splitting
+    differs only on exact ties (measure-zero for continuous inputs)."""
+    gru_u, gru_i, M, exists, su, si, cmu, cmi, amu, ami = res
     dsu0, dsi0, dau0, dai0 = grads
     U, Ifull, T, e, B, P, D, B0, P0, dtype = _prep(gru_u, gru_i, M, exists)
-    z_p = jnp.zeros((B, 1, P), jnp.float32)
-    z_d = jnp.zeros((B, 1, D), jnp.float32)
-    dsu = z_p.at[:B0, 0, :P0].set(dsu0.astype(jnp.float32))
-    dsi = z_p.at[:B0, 0, :P0].set(dsi0.astype(jnp.float32))
-    dau = z_d.at[:B0, 0].set(dau0.astype(jnp.float32))
-    dai = z_d.at[:B0, 0].set(dai0.astype(jnp.float32))
+    soft_u, soft_i = su[:, 0], si[:, 0]          # (B, P)
+    colmax_u, colmax_i = cmu[:, 0], cmi[:, 0]
+    amax_u, amax_i = amu[:, 0], ami[:, 0]        # (B, P) int32
 
-    dT, dU, dI = _backward(T, U, Ifull, e, su, si, dsu, dsi, dau, dai, B, P, D)
+    z_p = jnp.zeros((B, P), jnp.float32)
+    z_d = jnp.zeros((B, D), jnp.float32)
+    dsu = z_p.at[:B0, :P0].set(dsu0.astype(jnp.float32))
+    dsi = z_p.at[:B0, :P0].set(dsi0.astype(jnp.float32))
+    dau = z_d.at[:B0].set(dau0.astype(jnp.float32))
+    dai = z_d.at[:B0].set(dai0.astype(jnp.float32))
+
+    # atte_u = soft_u @ U ; atte_i = soft_i @ I
+    dsu = dsu + jnp.einsum("bd,bpd->bp", dau, U)
+    dsi = dsi + jnp.einsum("bd,bpd->bp", dai, Ifull)
+    dU = soft_u[..., None] * dau[:, None, :]
+    dI = soft_i[..., None] * dai[:, None, :]
+
+    g_u = _softmax_vjp_b(soft_u, dsu)            # zero at masked positions
+    g_i = _softmax_vjp_b(soft_i, dsi)
+    val_u = g_u * (1.0 - colmax_u * colmax_u)    # tanh grad at the argmax
+    val_i = g_i * (1.0 - colmax_i * colmax_i)
+
+    b_idx = jnp.arange(B)[:, None]
+    # u-half: A[p, q] = tanh(T_p . U_q); grad lands at (amax_u[q], q)
+    dU = dU + val_u[..., None] * jnp.take_along_axis(T, amax_u[..., None], axis=1)
+    dT = jnp.zeros((B, P, D), jnp.float32).at[b_idx, amax_u].add(
+        val_u[..., None] * U)
+    # i-half: A^T[q, p] = tanh(U_q . T_p); grad lands at (amax_i[p], p)
+    dT = dT + val_i[..., None] * jnp.take_along_axis(U, amax_i[..., None], axis=1)
+    dU = dU.at[b_idx, amax_i].add(val_i[..., None] * T)
+
     # T = I @ M: fold dT into dI / dM with large XLA matmuls
     dI = dI + jnp.einsum("bpe,fe->bpf", dT, M)
     dM = jnp.einsum("bpe,bpf->ef", Ifull, dT)
