@@ -1,6 +1,18 @@
 """Training-dynamics parity: our framework vs the reference torch code,
-same data, same init, same hyperparameters, per-eval MSE trajectory."""
-import sys, types, numpy as np
+same data, same init, same hyperparameters, per-epoch MSE trajectory.
+
+Usage (from the repo root; make a corpus first with
+tools/make_synthetic_corpus.py + umpr_tpu.text.preprocess):
+
+    python tools/dynamics_parity.py --data_dir /tmp/corpus \
+        --glove /tmp/corpus/glove.txt [--epochs 6] [--batch 64] [--seed 2]
+
+Round-1 result (2,400-sample corpus, B=64, seed 2): per-epoch MSE identical
+to 4 decimals for all 6 epochs (see PARITY.md).  NOTE: ~50% of seeds are
+dead at birth through the reference's ReLU head -- pick one whose initial
+predictions are alive (seed 2 on the round-1 corpora).
+"""
+import argparse, sys, types, numpy as np
 sys.path.insert(0, ".")  # run from repo root
 import jax; jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp, torch
@@ -13,14 +25,27 @@ from umpr_tpu.train.optim import make_optimizer, split_frozen, lr_at_epoch
 from umpr_tpu.train.step import make_train_step, make_eval_step, evaluate_mse
 from tests.ref_oracle import import_reference_model, patch_improved_rnn, load_umpr, batch_to_reference, RefConfig
 
-cfg = Config(argv=["--min_sent_count","2","--review_net_only","True"])
-w2v = Word2vec("/tmp/vtest/glove.txt")
-train_ds = build_dataset("/tmp/vtest/ours/train.csv", "/tmp/vtest/ours/photos.json", "/tmp/vtest/photos", w2v, cfg)
+ap = argparse.ArgumentParser()
+ap.add_argument("--data_dir", required=True)
+ap.add_argument("--glove", required=True)
+ap.add_argument("--epochs", type=int, default=6)
+ap.add_argument("--batch", type=int, default=64)
+ap.add_argument("--lr", type=float, default=0.003)
+ap.add_argument("--seed", type=int, default=2)
+ap.add_argument("--min_sent_count", type=int, default=5)
+args = ap.parse_args()
+
+cfg = Config(argv=["--min_sent_count", str(args.min_sent_count),
+                   "--review_net_only", "True"])
+w2v = Word2vec(args.glove)
+train_ds = build_dataset(f"{args.data_dir}/train.csv",
+                         f"{args.data_dir}/photos.json",
+                         f"{args.data_dir}/photos", w2v, cfg)
 print(f"{len(train_ds)} samples")
 dims = ModelDims(review_net_only=True)
-params0 = init_umpr(jax.random.PRNGKey(2), dims, w2v.embedding)
+params0 = init_umpr(jax.random.PRNGKey(args.seed), dims, w2v.embedding)
 
-LR, WD, EPOCHS, BS = 0.003, 1e-3, 30, 8
+LR, WD, EPOCHS, BS = args.lr, 1e-3, args.epochs, args.batch
 # ---- ours ----
 trainable, frozen = split_frozen(params0)
 tx = make_optimizer(WD)
@@ -63,7 +88,7 @@ for epoch in range(EPOCHS):
     ref_mse.append(tot/cnt)
 
 print("epoch  ours-mse  torch-ref-mse")
-for e in (0, 4, 9, 19, 29):
+for e in range(EPOCHS):
     print(f"{e:5d}  {ours_mse[e]:8.4f}  {ref_mse[e]:8.4f}")
 print(f"final: ours {ours_mse[-1]:.4f} vs reference {ref_mse[-1]:.4f} "
       f"(rel diff {abs(ours_mse[-1]-ref_mse[-1])/ref_mse[-1]*100:.1f}%)")
