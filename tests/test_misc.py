@@ -70,3 +70,37 @@ def test_review_level_tokenization():
     out = _tokenize_reviews(df, w2v, Cfg)
     docs = out[0] if isinstance(out, tuple) else out  # native path returns (docs, flat)
     assert len(docs[0]) == 1 and len(docs[0][0]) == 7  # one unit, 7 tokens
+
+
+def test_prefetch_iter_propagates_errors():
+    from umpr_tpu.data.loader import prefetch_iter
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("worker exploded")
+
+    it = prefetch_iter(boom(), depth=1)
+    assert next(it) == 1 and next(it) == 2
+    import pytest as _p
+    with _p.raises(RuntimeError, match="worker exploded"):
+        list(it)
+
+
+def test_masking_primitives():
+    import jax.numpy as jnp
+    from umpr_tpu.ops.masking import masked_max, masked_softmax, exists_mask
+
+    x = jnp.asarray([[1.0, 5.0, 3.0], [4.0, 2.0, 9.0]])
+    m = jnp.asarray([[True, False, True], [True, True, False]])
+    mx = masked_max(x, m, axis=1)
+    np.testing.assert_allclose(np.asarray(mx), [3.0, 4.0])
+
+    sm = masked_softmax(x, m, axis=1)
+    np.testing.assert_allclose(np.asarray(sm.sum(1)), [1.0, 1.0], rtol=1e-6)
+    assert float(sm[0, 1]) == 0.0 and float(sm[1, 2]) == 0.0
+
+    e = exists_mask(jnp.int32(2), jnp.int32(3), 4, 5)
+    expect = np.zeros((4, 5), bool)
+    expect[:2, :3] = True
+    np.testing.assert_array_equal(np.asarray(e), expect)
