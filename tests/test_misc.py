@@ -104,3 +104,39 @@ def test_masking_primitives():
     expect = np.zeros((4, 5), bool)
     expect[:2, :3] = True
     np.testing.assert_array_equal(np.asarray(e), expect)
+
+
+def test_convert_vgg16_roundtrip(tmp_path):
+    """tools/convert_vgg16.py on a synthetic torchvision-layout state_dict:
+    converted weights load into our VGG16 and the forward matches a torch
+    reference built from the same weights."""
+    import sys
+    torch = __import__("pytest").importorskip("torch")
+    sys.path.insert(0, ".")
+    from tools.convert_vgg16 import convert
+    from umpr_tpu.models.visual_net import init_vgg16, vgg16, VGG16_CFG
+    from umpr_tpu.train.checkpoint import restore_pytree
+    from tests.ref_oracle import _fake_torchvision
+    import types
+
+    # synthetic torchvision-layout state_dict (tiny random weights)
+    _fake_torchvision()
+    tv = sys.modules["torchvision"]
+    model = tv.models.vgg16()
+    pth = str(tmp_path / "vgg16.pth")
+    torch.save(model.state_dict(), pth)
+
+    out = str(tmp_path / "converted")
+    convert(pth, out)
+
+    params = init_vgg16(jax.random.PRNGKey(0))
+    params = restore_pytree(out, params)
+
+    rng = np.random.default_rng(0)
+    img = rng.random((1, 224, 224, 3)).astype(np.float32)
+    ours = vgg16(params, jax.numpy.asarray(img))
+    model.eval()
+    with torch.no_grad():
+        theirs = model(torch.tensor(img.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(),
+                               rtol=1e-4, atol=1e-4)
