@@ -57,6 +57,39 @@ def test_checkpoint_roundtrip_params_and_opt_state(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_renamed_key_fails_loudly(tmp_path):
+    """Path-keyed format: a renamed/reordered params dict must not silently
+    load weights into the wrong parameters (round-1 advisor finding)."""
+    import json
+    import pytest
+
+    tree = {"a": np.ones((2, 3), np.float32), "b": np.zeros((2, 3), np.float32)}
+    path = str(tmp_path / "ck")
+    ckpt.save_pytree(path, tree)
+
+    renamed = {"a": np.ones((2, 3), np.float32), "c": np.zeros((2, 3), np.float32)}
+    with pytest.raises(ValueError, match="missing keys"):
+        ckpt.restore_pytree(path, renamed)
+
+    # reordered-but-same-keys is fine: leaves resolve by path, not position
+    swapped = {"b": np.full((2, 3), 7.0, np.float32),
+               "a": np.full((2, 3), 9.0, np.float32)}
+    out = ckpt.restore_pytree(path, swapped)
+    np.testing.assert_array_equal(np.asarray(out["a"]), tree["a"])
+    np.testing.assert_array_equal(np.asarray(out["b"]), tree["b"])
+
+    # legacy v0 (order-based) checkpoints: readable only with an exactly
+    # matching treedef fingerprint
+    meta_path = tmp_path / "ck" / "structure.json"
+    meta = json.loads(meta_path.read_text())
+    v0 = {"n": meta["n"], "fingerprint": meta["fingerprint"]}
+    meta_path.write_text(json.dumps(v0))
+    out = ckpt.restore_pytree(path, tree)
+    np.testing.assert_array_equal(np.asarray(out["b"]), tree["b"])
+    with pytest.raises(ValueError, match="different pytree structure"):
+        ckpt.restore_pytree(path, {"x": tree["a"], "y": tree["b"]})
+
+
 def test_dataset_npz_roundtrip(tmp_path):
     ds = small_dataset()
     path = str(tmp_path / "cache.npz")

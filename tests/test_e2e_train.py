@@ -86,6 +86,39 @@ def test_fit_test_resume(corpus_dir, tmp_path):
     assert trainer2.batch_counter > trainer.batch_counter
 
 
+def test_sharded_embedding_checkpoint_is_mesh_independent(corpus_dir, tmp_path):
+    """With --shard_embedding the vocab table is padded to a device-count
+    multiple; best/ checkpoints must strip that padding so a default
+    (unsharded) Trainer or the serving path can load them (round-1 advisor
+    finding)."""
+    base = ["--device", "cpu", "--review_net_only", "True",
+            "--batch_size", "8", "--train_epochs", "1",
+            "--eval_every", "2", "--learning_rate", "0.01",
+            "--min_sent_count", "1", "--seed", "2",
+            "--cache_dataset", "False"]
+    logger = get_logger(logger_name="shard-ckpt")
+    w2v = Word2vec(str(corpus_dir / "glove.txt"))
+    assert (w2v.embedding.shape[0] % 8) != 0  # padding actually happens
+    mk = lambda cfg, split: build_dataset(str(corpus_dir / f"{split}.csv"),
+                                          str(corpus_dir / "photos.json"),
+                                          str(corpus_dir / "photos"), w2v, cfg)
+
+    cfg_tp = Config(argv=base + ["--shard_embedding", "True"])
+    model_dir = str(tmp_path / "tp_model")
+    t = Trainer(cfg_tp, logger, w2v)
+    t.fit(mk(cfg_tp, "train"), mk(cfg_tp, "valid"), model_dir)
+
+    # same trainer can re-load its own best
+    mse_tp = t.test(mk(cfg_tp, "valid"), model_dir)
+    assert np.isfinite(mse_tp)
+
+    # and so can a default (unsharded, single-device) trainer
+    cfg_plain = Config(argv=base + ["--multi_gpu", "False"])
+    t2 = Trainer(cfg_plain, logger, w2v)
+    mse_plain = t2.test(mk(cfg_plain, "valid"), model_dir)
+    np.testing.assert_allclose(mse_plain, mse_tp, rtol=1e-5)
+
+
 def test_multi_step_dispatch_equals_single(corpus_dir, tmp_path):
     """steps_per_dispatch=4 must produce the same parameters and losses as
     single-step dispatch (same update order, same rng folding)."""

@@ -32,6 +32,9 @@ DOCS = [
     "tab\tseparated  and   multi spaced sound quality loved album",
     "café unicode résumé doc sound quality loved album extra",  # -> python path
     "digits ²³ weird sound quality loved album extra",              # unicode digits
+    # ASCII control separators \x1c-\x1f: str.split() treats them as
+    # whitespace; the doc stays all-ASCII so it exercises the native path
+    "control\x1dchars\x1c here \x1e sound quality loved album extra\x1f end",
 ]
 
 

@@ -32,12 +32,15 @@ lengths/counts via "exists" masks (see umpr_tpu/ops/masking.py).
 
 from __future__ import annotations
 
+import logging
 import os
 from collections import defaultdict
 from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+
+_log = logging.getLogger("umpr_tpu.data")
 
 
 @dataclass
@@ -94,8 +97,11 @@ def _tokenize_reviews(df, word2vec, config):
                                      sentence_level, return_flat=True)
         if fast is not None and fast[0] is not None:
             return fast  # (per-doc lists, flat arrays or None)
-    except Exception:
-        pass
+    except Exception as e:
+        # Loud fallback: silently degrading to the python tokenizer turns a
+        # minutes-scale corpus build into hours.
+        _log.warning("native tokenizer failed (%s: %s); using python path",
+                     type(e).__name__, e)
 
     def tok(x):
         text = str(x)
@@ -273,7 +279,9 @@ def build_dataset(data_path, photo_json, photo_dir, word2vec, config) -> UMPRDat
                                           out_row, len(keep_arr))
             retain = retain_arr.astype(bool).tolist()
             packed = (u_pack, i_pack)
-    except Exception:
+    except Exception as e:
+        _log.warning("native history builder failed (%s: %s); "
+                     "using python path", type(e).__name__, e)
         packed = None
 
     if packed is None:

@@ -51,13 +51,13 @@ def download_photos(photos_json):
     os.makedirs(photo_dir, exist_ok=True)
 
     try:
-        print(f"## Read {photos_json}")
+        print(f"reading manifest: {photos_json}")
         df = pd.read_json(photos_json, orient="records", lines=True)
     except Exception:
-        print('## Please first run the preprocessor to generate "photos.json"!!!')
+        print('no photos.json found -- run the preprocessor first to generate it')
         return
 
-    print(f"## Start to download pictures and save them into {photo_dir}")
+    print(f"downloading photos into {photo_dir}")
     tasks = []
     with ThreadPoolExecutor() as pool:
         for name, url in zip(df["photo_id"], df["imUrl"]):
@@ -70,12 +70,12 @@ def download_photos(photos_json):
             ok, url, path = task.result()
             if not ok:
                 failed.append((url, path))
-            print(f"## Tried {i}/{len(tasks)} photos!", end="\r", flush=True)
+            print(f"progress: {i}/{len(tasks)}", end="\r", flush=True)
 
     for url, path in failed:
-        print(f"## Failed to download {url} to {path}")
-    print(f"## {len(tasks) - len(failed)} images were downloaded successfully "
-          f"to {photo_dir}!")
+        print(f"FAILED: {url} -> {path}")
+    print(f"done: {len(tasks) - len(failed)} ok, {len(failed)} failed "
+          f"({photo_dir})")
 
 
 def main(argv=None):

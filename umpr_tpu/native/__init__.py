@@ -16,7 +16,10 @@ the build is unavailable.
 from __future__ import annotations
 
 import ctypes
+import hashlib
+import logging
 import os
+import platform
 import subprocess
 import threading
 
@@ -24,10 +27,25 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "tokenizer.cpp")
-_SO = os.path.join(_HERE, "_tokenizer.so")
 _lock = threading.Lock()
 _lib = None
 _build_failed = False
+_log = logging.getLogger("umpr_tpu.native")
+
+
+def _so_path():
+    """Cache path for the built library: keyed on a content hash of the
+    C++ source plus the host arch, under a per-host cache dir.  Binaries
+    are never committed (they'd be unauditable and -march=native makes a
+    foreign blob a SIGILL risk); a fresh clone always builds from source."""
+    with open(_SRC, "rb") as f:
+        src_hash = hashlib.sha256(f.read()).hexdigest()[:12]
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    cache_dir = os.path.join(base, "umpr_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(
+        cache_dir, f"_tokenizer-{src_hash}-{platform.machine()}.so")
 
 
 def _load():
@@ -36,14 +54,15 @@ def _load():
         if _lib is not None or _build_failed:
             return _lib
         try:
-            if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            so = _so_path()
+            if not os.path.exists(so):
+                tmp = f"{so}.tmp.{os.getpid()}"
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-std=c++17", _SRC, "-o", _SO + ".tmp"],
+                     "-std=c++17", _SRC, "-o", tmp],
                     check=True, capture_output=True)
-                os.replace(_SO + ".tmp", _SO)
-            lib = ctypes.CDLL(_SO)
+                os.replace(tmp, so)
+            lib = ctypes.CDLL(so)
             lib.vocab_build.restype = ctypes.c_void_p
             lib.vocab_build.argtypes = [ctypes.c_char_p, ctypes.c_int64]
             lib.vocab_free.argtypes = [ctypes.c_void_p]
@@ -58,8 +77,14 @@ def _load():
                 ctypes.c_int64, ctypes.c_int64,
             ]
             _lib = lib
-        except Exception:
+        except Exception as e:
             _build_failed = True
+            # Loud-once fallback: a silent fall-through would quietly turn a
+            # minutes-scale corpus build back into hours.
+            _log.warning(
+                "native tokenizer unavailable (%s: %s); "
+                "falling back to the pure-python host pipeline",
+                type(e).__name__, e)
     return _lib
 
 

@@ -28,7 +28,10 @@ struct Vocab {
 };
 
 inline bool is_space(unsigned char c) {
-    return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\v';
+    // Python str.split() additionally treats the ASCII separators
+    // \x1c-\x1f (FS/GS/RS/US) as whitespace; match it byte-exactly.
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+           c == '\v' || (c >= 0x1c && c <= 0x1f);
 }
 
 inline bool all_digits(const char* s, size_t n) {

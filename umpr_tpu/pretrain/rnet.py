@@ -13,6 +13,16 @@ Pipeline parity (pretrain_rnet.py:84-205):
   RNet(pretrained=...) at reference model.py:30-34);
 - Adam with bias-excluded weight decay + per-epoch exponential decay
   (pretrain_rnet.py:181-185).
+
+Intentional deviation (documented, like the double-unsort quirk in
+ops/gru.py): the reference's PretrainRNetDataset appends ``len(sent)`` of
+the already-padded array as each pair's GRU length, i.e. the constant
+``max_length``, so its GRU always runs over the full padded sentence
+(pretrain_rnet.py:107-116,136-141).  This pretrainer feeds the TRUE token
+counts instead (``(ids != 0).sum()``) — the masked GRU then stops at each
+sentence's real end, which matches how the same RNet is driven inside UMPR
+and avoids training the warm-start weights on trailing-PAD dynamics.  The
+mined pairs and the loss are otherwise identical.
 """
 
 from __future__ import annotations

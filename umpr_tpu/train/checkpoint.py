@@ -1,10 +1,17 @@
-"""Checkpointing (Orbax): params + optimizer state + progress metadata.
+"""Checkpointing: params + optimizer state + progress metadata.
 
 The reference pickles whole torch modules on every new best validation MSE
 and never saves optimizer state (main.py:47-52), so an interrupted run
 restarts from scratch.  This keeps the same save-on-best policy and adds
 what the reference lacks: optimizer state and progress counters, so
 ``--resume_path`` continues a run exactly where it stopped.
+
+Format: npz of leaves **keyed by pytree path** plus a versioned
+``structure.json`` (treedef fingerprint + key list).  Restore resolves
+leaves by path, so a renamed or reordered params dict fails loudly instead
+of silently loading weights into the wrong parameters; legacy order-based
+(v0) checkpoints are still readable but only when their structure
+fingerprint matches exactly.
 
 Layout under a checkpoint root:
     best/      -- params at the best validation MSE (what test() loads)
@@ -19,41 +26,77 @@ import os
 import jax
 import numpy as np
 
+FORMAT_VERSION = 1
 
-def _flatten(tree):
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    return leaves, str(treedef)
+
+def _flatten_with_keys(tree):
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    keys = [jax.tree_util.keystr(p) for p, _ in leaves_with_path]
+    leaves = [x for _, x in leaves_with_path]
+    return keys, leaves, str(treedef)
 
 
 def save_pytree(path, tree):
-    """Save a pytree of arrays as npz (order-based; structure fingerprint
-    stored to catch mismatches on restore)."""
+    """Save a pytree of arrays as npz with path-keyed leaves."""
     os.makedirs(path, exist_ok=True)
-    leaves, fingerprint = _flatten(tree)
+    keys, leaves, fingerprint = _flatten_with_keys(tree)
+    if len(set(keys)) != len(keys):
+        raise ValueError("pytree has duplicate path keys; cannot checkpoint")
     arrays = {f"leaf_{i:05d}": np.asarray(x) for i, x in enumerate(leaves)}
     np.savez(os.path.join(path, "arrays.npz"), **arrays)
     with open(os.path.join(path, "structure.json"), "w") as f:
-        json.dump({"fingerprint": fingerprint, "n": len(leaves)}, f)
+        json.dump({"version": FORMAT_VERSION, "keys": keys,
+                   "fingerprint": fingerprint, "n": len(leaves)}, f)
+
+
+def _restore_v0(path, meta, keys, leaves, like_fingerprint):
+    """Legacy order-based format: safe only when the treedef matches."""
+    if meta["n"] != len(leaves):
+        raise ValueError(
+            f"checkpoint at {path} has {meta['n']} leaves; expected "
+            f"{len(leaves)} (model/optimizer structure changed?)")
+    if meta.get("fingerprint") != like_fingerprint:
+        raise ValueError(
+            f"legacy (v0) checkpoint at {path} was written for a different "
+            "pytree structure; order-based leaves cannot be safely mapped. "
+            "Re-save with the current code to upgrade to the path-keyed "
+            "format.")
+    with np.load(os.path.join(path, "arrays.npz")) as z:
+        return [z[f"leaf_{i:05d}"] for i in range(len(leaves))]
 
 
 def restore_pytree(path, like):
-    """Restore into the structure of `like` (constructed by init code)."""
-    leaves, treedef = jax.tree_util.tree_flatten(like)
+    """Restore into the structure of `like` (constructed by init code).
+
+    Leaves are matched by pytree path; missing or extra keys raise with the
+    offending paths named.
+    """
+    keys, leaves, like_fingerprint = _flatten_with_keys(like)
     with open(os.path.join(path, "structure.json")) as f:
         meta = json.load(f)
-    if meta["n"] != len(leaves):
-        raise ValueError(
-            f"checkpoint at {path} has {meta['n']} leaves; expected {len(leaves)} "
-            "(model/optimizer structure changed?)")
-    with np.load(os.path.join(path, "arrays.npz")) as z:
-        new_leaves = [z[f"leaf_{i:05d}"] for i in range(len(leaves))]
-    for i, (old, new) in enumerate(zip(leaves, new_leaves)):
+
+    if meta.get("version", 0) == 0:
+        new_leaves = _restore_v0(path, meta, keys, leaves, like_fingerprint)
+    else:
+        index = {k: i for i, k in enumerate(meta["keys"])}
+        missing = [k for k in keys if k not in index]
+        extra = [k for k in meta["keys"] if k not in set(keys)]
+        if missing or extra:
+            raise ValueError(
+                f"checkpoint at {path} does not match the model structure: "
+                f"missing keys {missing[:5]}{'...' if len(missing) > 5 else ''}, "
+                f"unexpected keys {extra[:5]}{'...' if len(extra) > 5 else ''}")
+        with np.load(os.path.join(path, "arrays.npz")) as z:
+            new_leaves = [z[f"leaf_{index[k]:05d}"] for k in keys]
+
+    for key, old, new in zip(keys, leaves, new_leaves):
         if tuple(np.shape(old)) != tuple(new.shape):
             raise ValueError(
-                f"checkpoint at {path}: leaf {i} has shape {new.shape}, "
+                f"checkpoint at {path}: leaf {key} has shape {new.shape}, "
                 f"expected {np.shape(old)} (model size mismatch?)")
     new_leaves = [jax.numpy.asarray(nl) for nl in new_leaves]
-    return jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(like), new_leaves)
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(like), new_leaves)
 
 
 def save_meta(path, **meta):

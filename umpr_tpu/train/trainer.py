@@ -72,6 +72,9 @@ class Trainer:
                             f'"{config.vgg16_weights}"')
         self.trainable, self.frozen = split_frozen(params)
         self.trainable = jax.device_put(self.trainable, self.rep)
+        # original vocab row count, BEFORE any shard-padding: checkpoints
+        # must be mesh-independent (loadable for serving / other meshes)
+        self._vocab_rows = int(self.frozen["embedding"].shape[0])
         if config.shard_embedding:
             # Tensor-parallel vocab table: rows sharded over the mesh axis;
             # XLA turns the lookups into dynamic-gathers + collectives.
@@ -115,6 +118,16 @@ class Trainer:
                              f"{self.start_epoch}, batch {self.batch_counter}.")
 
     # ------------------------------------------------------------------
+    def _checkpoint_params(self):
+        """Merged params with the embedding stripped back to its original
+        row count.  shard_embedding pads the table to a device-count
+        multiple, so saving it verbatim would make best/ checkpoints depend
+        on the training mesh and fail restore-shape checks elsewhere."""
+        frozen = self.frozen
+        if int(frozen["embedding"].shape[0]) != self._vocab_rows:
+            frozen = {"embedding": frozen["embedding"][: self._vocab_rows]}
+        return merge_params(self.trainable, frozen)
+
     def _loader(self, dataset, shuffle=False, seed=0):
         cfg = self.config
         if not hasattr(self, "_photo_cache"):
@@ -210,7 +223,7 @@ class Trainer:
                                 f"train loss {float(total_loss) / float(total_samples):.6f}; "
                                 f"valid mse {valid_mse:.6f}")
                     if self.best_loss > valid_mse:
-                        ckpt.save_best(model_path, merge_params(self.trainable, self.frozen))
+                        ckpt.save_best(model_path, self._checkpoint_params())
                         self.best_loss = valid_mse
 
             started_profile = False
@@ -268,7 +281,7 @@ class Trainer:
     def test(self, test_data, model_path):
         logger = self.logger
         logger.info("Start to test.")
-        params = ckpt.restore_best(model_path, merge_params(self.trainable, self.frozen))
+        params = ckpt.restore_best(model_path, self._checkpoint_params())
         trainable, frozen = split_frozen(params)
         trainable = jax.device_put(trainable, self.rep)
         frozen = jax.device_put(frozen, self.rep)
