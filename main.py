@@ -18,14 +18,24 @@ from umpr_tpu.utils.logging import get_logger, date
 
 
 def load_split(name, csv_path, photo_json, photo_dir, w2v, config, logger):
-    cache = os.path.join(config.data_dir, f"dataset_{name}.npz")
-    if config.cache_dataset and os.path.exists(cache):
-        logger.info(f"Loaded {name} dataset from {cache}!")
-        return UMPRDataset.load(cache)
-    logger.debug(f"Loading {name} dataset.")
-    ds = build_dataset(csv_path, photo_json, photo_dir, w2v, config)
+    cache_dir = os.path.join(config.data_dir, f"dataset_{name}.cache")
+    legacy = os.path.join(config.data_dir, f"dataset_{name}.npz")
     if config.cache_dataset:
-        ds.save(cache)
+        for cache in (cache_dir, legacy):
+            try:
+                ds = UMPRDataset.load(cache)
+                logger.info(f"Loaded {name} dataset from {cache}!")
+                return ds
+            except (FileNotFoundError, NotADirectoryError):
+                continue
+    logger.debug(f"Loading {name} dataset.")
+    # with caching on, the streaming build writes its packed arrays straight
+    # into the cache dir as memmaps (no 2nd copy in RSS, no separate save)
+    ds = build_dataset(csv_path, photo_json, photo_dir, w2v, config,
+                       mmap_dir=cache_dir if config.cache_dataset else None)
+    if config.cache_dataset and not os.path.exists(
+            os.path.join(cache_dir, "complete.marker")):
+        ds.save(cache_dir)  # full-memory fallback path: persist explicitly
     return ds
 
 

@@ -207,3 +207,44 @@ def test_loader_multiworker_photo_decode(tmp_path):
                              photo_cache_bytes=0))
     for a, b in zip(sync, multi):
         np.testing.assert_array_equal(a["photos"], b["photos"])
+
+
+def test_word2vec_text_format_loader(tmp_path):
+    """source='word2vec' + CLI header sniffing: standard word2vec text files
+    (header `<count> <dim>`, rows most-frequent-first) load with the
+    reference gensim path's reserved ids and head-truncation semantics
+    (reference word2vec.py:54-64)."""
+    from umpr_tpu.text.vocab import Word2vec
+
+    path = tmp_path / "model.txt"
+    rows = [("loved", [0.1, 0.2]), ("sound", [0.3, 0.4]),
+            ("album", [0.5, 0.6]), ("rarely", [0.7, 0.8])]
+    with open(path, "w") as f:
+        f.write(f"{len(rows)} 2\n")
+        for w, v in rows:
+            f.write(w + " " + " ".join(map(str, v)) + "\n")
+
+    w2v = Word2vec(str(path), source="word2vec")
+    assert w2v.vocab == ["<PAD>", "<UNK>", "<NUM>",
+                         "loved", "sound", "album", "rarely"]
+    assert w2v.word_dim == 2
+    np.testing.assert_array_equal(w2v.embedding[:3], np.zeros((3, 2)))
+    np.testing.assert_allclose(w2v.embedding[3], [0.1, 0.2])
+    assert w2v.sent2indices("loved 12 zzz sound") == [3, 2, 1, 4]
+
+    # frequency truncation: keep the first (most frequent) vocab_size rows
+    w2v_t = Word2vec(str(path), source="word2vec", vocab_size=2)
+    assert w2v_t.vocab == ["<PAD>", "<UNK>", "<NUM>", "loved", "sound"]
+    assert len(w2v_t.embedding) == 5
+
+    # the default CLI path ('glove' source) sniffs the header
+    auto = Word2vec(str(path))
+    assert auto.vocab == w2v.vocab
+    np.testing.assert_array_equal(auto.embedding, w2v.embedding)
+
+    # and a real glove file (no header) is untouched by the sniffing
+    gpath = tmp_path / "glove.txt"
+    with open(gpath, "w") as f:
+        f.write("word 1.0 2.0\nother 3.0 4.0\n")
+    g = Word2vec(str(gpath))
+    assert g.vocab[3:] == ["word", "other"]

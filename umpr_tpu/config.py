@@ -79,8 +79,13 @@ class Config:
                           # (the analogue of RNet(pretrained=...) at reference model.py:30-34).
     vgg16_weights = ""  # optional converted torchvision VGG16 checkpoint dir
                         # (tools/convert_vgg16.py; reference model.py:204-207 downloads it).
+    photo_size = 224  # photo edge length fed to the visual net (reference
+                      # hard-codes 224 at dataset.py:137); must be a multiple
+                      # of 32 (VGG16's five 2x2 pools).
     profile_dir = ""  # if set, write a jax.profiler trace of a few steps here.
     cache_dataset = True  # cache the packed dataset arrays next to the CSVs (reference: main.py:66-73).
+    build_chunk_rows = 1000000  # CSV rows per chunk for the streaming (low-RSS)
+                                # dataset build; 0 = full-memory build.
 
     def __init__(self, argv=None):
         parser = argparse.ArgumentParser()
@@ -101,6 +106,8 @@ class Config:
             '"review_level" must be equal to "sentence" or "review"!'
         )
         assert self.compute_dtype in ("float32", "bfloat16")
+        assert self.photo_size % 32 == 0 and self.photo_size > 0, (
+            '"photo_size" must be a positive multiple of 32!')
 
     @classmethod
     def _attributes(cls):

@@ -70,12 +70,32 @@ class UMPRDataset:
         return self.u_tokens.shape[0]
 
     def save(self, path):
-        # uncompressed: ~10x faster save/load than savez_compressed at
-        # Yelp/CSJ scale, and token arrays mostly fit in page cache anyway
-        np.savez(path, **{k: getattr(self, k) for k in self.__dataclass_fields__})
+        """Directory path -> one .npy per field + a completeness marker (the
+        memmap-friendly format: load() maps token arrays instead of reading
+        31 GB into RSS at Yelp scale).  A .npz path keeps the legacy
+        single-file format."""
+        if str(path).endswith(".npz"):
+            # uncompressed: ~10x faster save/load than savez_compressed at
+            # Yelp/CSJ scale
+            np.savez(path, **{k: getattr(self, k) for k in self.__dataclass_fields__})
+            return
+        os.makedirs(path, exist_ok=True)
+        for k in self.__dataclass_fields__:
+            np.save(os.path.join(path, f"{k}.npy"), getattr(self, k))
+        with open(os.path.join(path, "complete.marker"), "w") as f:
+            f.write("1")
 
     @classmethod
     def load(cls, path):
+        if os.path.isdir(path):
+            if not os.path.exists(os.path.join(path, "complete.marker")):
+                raise FileNotFoundError(f"incomplete dataset cache at {path}")
+            fields = {}
+            for k in cls.__dataclass_fields__:
+                p = os.path.join(path, f"{k}.npy")
+                if os.path.exists(p):
+                    fields[k] = np.load(p, mmap_mode="r")
+            return cls(**fields)
         with np.load(path, allow_pickle=False) as z:
             fields = {k: z[k] for k in cls.__dataclass_fields__ if k in z}
             return cls(**fields)  # older caches lack source_rows -> default
@@ -229,7 +249,183 @@ def _pack_reviews(review_lists, max_count, max_len):
     return tokens, lengths, counts
 
 
-def build_dataset(data_path, photo_json, photo_dir, word2vec, config) -> UMPRDataset:
+_PACK_CHUNK_BYTES = 2 << 30  # token-slab bytes per C++ fill call
+
+
+def _flush_drop(arr):
+    """Flush a memmap's dirty pages and drop them from RSS (no-op for plain
+    arrays).  This is what bounds build RSS: without it every written page
+    stays resident until memory pressure."""
+    if isinstance(arr, np.memmap):
+        import mmap as _mmap
+        arr.flush()
+        try:
+            arr._mmap.madvise(_mmap.MADV_DONTNEED)
+        except (AttributeError, ValueError):
+            pass
+
+
+def _build_dataset_streaming(data_path, photo_json, photo_dir, word2vec,
+                             config, chunk_rows, mmap_dir=None) -> UMPRDataset:
+    """Low-RSS corpus-scale build: chunked CSV read + flat-only native
+    tokenization (no per-doc python lists) + compact C++ packing.  Exactly
+    equivalent to the full-memory path (CI: test_dataset_streaming.py,
+    test_dataset_oracle.py); peak memory is bounded by one CSV chunk plus
+    the compact flat/token arrays instead of the whole corpus' strings,
+    per-doc lists and byte-sized tokenizer buffers.
+
+    With mmap_dir set, the packed token arrays are written straight into
+    .npy memmaps under that directory in slabs (flushed + madvise-dropped),
+    so peak RSS excludes the ~4x-corpus-size outputs entirely AND the
+    result doubles as the on-disk dataset cache."""
+    from umpr_tpu.native import (fast_build_histories, fast_pack_ui,
+                                 histories_retain_pass, tokenize_flat)
+
+    S, L, S_ui = (config.max_sent_count, config.max_sent_length,
+                  config.max_ui_sent_count)
+    sentence_level = config.review_level == "sentence"
+
+    id_parts, slen_parts, dcount_parts = [], [], []
+    users_p, items_p, ratings_p, itemid_p = [], [], [], []
+    usecols = ["itemID", "review", "rating", "user_num", "item_num"]
+    for chunk in pd.read_csv(data_path, chunksize=chunk_rows, usecols=usecols):
+        flat = tokenize_flat(chunk["review"], word2vec, L, sentence_level)
+        if flat is None:
+            raise RuntimeError("native tokenizer unavailable")
+        fids, sstarts, dss = flat
+        id_parts.append(fids)
+        slen_parts.append(np.diff(sstarts))
+        dcount_parts.append(np.diff(dss))
+        users_p.append(chunk["user_num"].to_numpy(np.int64))
+        items_p.append(chunk["item_num"].to_numpy(np.int64))
+        ratings_p.append(chunk["rating"].to_numpy(np.float32))
+        itemid_p.append(chunk["itemID"].to_numpy())
+
+    def cat(parts, dtype=None):
+        return (np.concatenate(parts) if parts
+                else np.zeros(0, dtype or np.int64))
+
+    flat_ids = cat(id_parts, np.int32); del id_parts
+    sent_lens = cat(slen_parts); del slen_parts
+    doc_counts = cat(dcount_parts); del dcount_parts
+    sent_starts = np.zeros(len(sent_lens) + 1, np.int64)
+    np.cumsum(sent_lens, out=sent_starts[1:])
+    doc_sent_start = np.zeros(len(doc_counts) + 1, np.int64)
+    np.cumsum(doc_counts, out=doc_sent_start[1:])
+    flat = (flat_ids, sent_starts, doc_sent_start)
+
+    users, items = cat(users_p), cat(items_p)
+    ratings = cat(ratings_p, np.float32)
+    item_ids = cat(itemid_p, object)
+    del users_p, items_p, ratings_p, itemid_p
+    n = len(doc_counts)
+
+    # the C++ count pass packs (lead, costar) into one 64-bit key; exact
+    # only for non-negative ids < 2^31 (always true for ngroup ids)
+    if n and not (users.min() >= 0 and items.min() >= 0
+                  and users.max() < 2 ** 31 and items.max() < 2 ** 31):
+        raise RuntimeError("group ids outside the composite-key range")
+
+    # same filter order as the reference (dataset.py:29,31,50-73,75-85):
+    # empty-review -> photos -> user histories -> item histories -> ui
+    retain = (doc_counts > 0).astype(np.uint8)
+    photos = _resolve_photos(photo_json, photo_dir, item_ids, retain,
+                             config.views, config.photo_count)
+    if not histories_retain_pass(users, items, doc_sent_start, retain,
+                                 config.min_sent_count):
+        raise RuntimeError("native history builder unavailable")
+    histories_retain_pass(items, users, doc_sent_start, retain,
+                          config.min_sent_count)
+    keep_arr = np.flatnonzero(retain)
+    n_out = len(keep_arr)
+
+    def alloc(field, shape):
+        if mmap_dir is None:
+            return np.zeros(shape, np.int32)
+        return np.lib.format.open_memmap(
+            os.path.join(mmap_dir, f"{field}.npy"), mode="w+",
+            dtype=np.int32, shape=shape)
+
+    # slab size: bound the dirty-page footprint of each C++ fill call
+    step = n_out if mmap_dir is None else max(
+        1, _PACK_CHUNK_BYTES // (S * L * 4))
+
+    def fill_histories(lead, costar, prefix):
+        tok = alloc(f"{prefix}_tokens", (n_out, S, L))
+        lng = alloc(f"{prefix}_lengths", (n_out, S))
+        cnt = alloc(f"{prefix}_counts", (n_out,))
+        for lo in range(0, n_out, step):
+            hi = min(lo + step, n_out)
+            lng[lo:hi] = 1
+            sub_out = np.full(n, -1, np.int64)
+            sub_out[keep_arr[lo:hi]] = np.arange(hi - lo)
+            r = fast_build_histories(
+                lead, costar, flat, retain, config.min_sent_count, S, L,
+                sub_out, hi - lo, out=(tok[lo:hi], lng[lo:hi], cnt[lo:hi]))
+            if r is None:
+                raise RuntimeError("native history builder unavailable")
+            _flush_drop(tok)
+            _flush_drop(lng)
+        return tok, lng, cnt
+
+    def fill_ui():
+        tok = alloc("ui_tokens", (n_out, S_ui, L))
+        lng = alloc("ui_lengths", (n_out, S_ui))
+        cnt = alloc("ui_counts", (n_out,))
+        ui_step = n_out if mmap_dir is None else max(
+            1, _PACK_CHUNK_BYTES // (S_ui * L * 4))
+        for lo in range(0, n_out, ui_step):
+            hi = min(lo + ui_step, n_out)
+            lng[lo:hi] = 1
+            r = fast_pack_ui(flat, keep_arr[lo:hi], S_ui, L,
+                             out=(tok[lo:hi], lng[lo:hi], cnt[lo:hi]))
+            if r is None:
+                raise RuntimeError("native ui packer unavailable")
+            _flush_drop(tok)
+            _flush_drop(lng)
+        return tok, lng, cnt
+
+    u_tok, u_len, u_cnt = fill_histories(users, items, "u")
+    i_tok, i_len, i_cnt = fill_histories(items, users, "i")
+    ui_tok, ui_len, ui_cnt = fill_ui()
+
+    photos = [photos[i] for i in keep_arr]
+    photo_arr = np.asarray(photos, dtype=np.str_) if photos else \
+        np.zeros((0, len(config.views), config.photo_count), dtype=np.str_)
+    ds = UMPRDataset(
+        u_tokens=u_tok, u_lengths=u_len, u_counts=u_cnt,
+        i_tokens=i_tok, i_lengths=i_len, i_counts=i_cnt,
+        ui_tokens=ui_tok, ui_lengths=ui_len, ui_counts=ui_cnt,
+        ratings=ratings[keep_arr], photo_paths=photo_arr,
+        source_rows=keep_arr,
+    )
+    if mmap_dir is not None:
+        # the token fields are already on disk; persist the small ones and
+        # mark the cache complete so UMPRDataset.load(dir) accepts it
+        for field in ("ratings", "photo_paths", "source_rows"):
+            np.save(os.path.join(mmap_dir, f"{field}.npy"), getattr(ds, field))
+        with open(os.path.join(mmap_dir, "complete.marker"), "w") as f:
+            f.write("1")
+    return ds
+
+
+def build_dataset(data_path, photo_json, photo_dir, word2vec, config,
+                  mmap_dir=None) -> UMPRDataset:
+    """mmap_dir: optional cache directory; the streaming build then writes
+    the packed arrays straight into .npy memmaps there (the directory
+    becomes a complete, loadable dataset cache)."""
+    chunk_rows = getattr(config, "build_chunk_rows", 0)
+    if chunk_rows and chunk_rows > 0:
+        try:
+            if mmap_dir is not None:
+                os.makedirs(mmap_dir, exist_ok=True)
+            return _build_dataset_streaming(
+                data_path, photo_json, photo_dir, word2vec, config,
+                chunk_rows, mmap_dir)
+        except Exception as e:
+            _log.warning("streaming dataset build failed (%s: %s); "
+                         "using the full-memory path", type(e).__name__, e)
+
     df = pd.read_csv(data_path)
     tokenized = _tokenize_reviews(df, word2vec, config)
     reviews, flat = tokenized if isinstance(tokenized, tuple) else (tokenized, None)

@@ -43,6 +43,8 @@ class ModelDims:
     loss_v_rate: float = 0.1
     review_net_only: bool = False
     use_pallas: bool = False
+    photo_size: int = 224  # photo edge length (VGG16 classifier input size
+                           # depends on it; must be a multiple of 32)
     compute_dtype: str = "float32"  # 'bfloat16' halves MXU time + HBM traffic;
                                     # params stay f32 (mixed precision)
 
@@ -59,6 +61,7 @@ class ModelDims:
             loss_v_rate=config.loss_v_rate,
             review_net_only=config.review_net_only,
             use_pallas=config.use_pallas if use_pallas is None else use_pallas,
+            photo_size=getattr(config, "photo_size", 224),
         )
 
 
@@ -77,7 +80,8 @@ def init_umpr(key, dims: ModelDims, word_emb):
         params["control_net"] = init_control_net(
             ks[2], emb_size, dims.gru_size, dims.kernel_count, dims.kernel_size,
             dims.view_size, dims.self_atte_size)
-        params["visual_net"] = init_visual_net(ks[3], dims.view_size)
+        params["visual_net"] = init_visual_net(ks[3], dims.view_size,
+                                               img_size=dims.photo_size)
         params["linear_fusion"] = init_linear(
             ks[1], dims.gru_size * 2 + 2 * dims.view_size, 1)
     return params

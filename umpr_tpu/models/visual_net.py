@@ -35,7 +35,7 @@ VGG16_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
 VGG_OUT = 1000
 
 
-def init_vgg16(key, num_classes=VGG_OUT):
+def init_vgg16(key, num_classes=VGG_OUT, img_size=224):
     params = {"features": [], "classifier": []}
     in_ch = 3
     for v in VGG16_CFG:
@@ -49,7 +49,8 @@ def init_vgg16(key, num_classes=VGG_OUT):
             "bias": jnp.zeros((v,), jnp.float32),
         })
         in_ch = v
-    dims = [(512 * 7 * 7, 4096), (4096, 4096), (4096, num_classes)]
+    spatial = img_size // 32  # five 2x2 pools
+    dims = [(512 * spatial * spatial, 4096), (4096, 4096), (4096, num_classes)]
     for d_in, d_out in dims:
         key, k_w = jax.random.split(key)
         params["classifier"].append({
@@ -98,10 +99,10 @@ def vgg16(params, images, train=False, dropout_rng=None):
     return x
 
 
-def init_visual_net(key, view_size, vgg_out=VGG_OUT):
+def init_visual_net(key, view_size, vgg_out=VGG_OUT, img_size=224):
     ks = jax.random.split(key, 4)
     return {
-        "vgg16": init_vgg16(ks[0], vgg_out),
+        "vgg16": init_vgg16(ks[0], vgg_out, img_size),
         "pos_v_emb": randn(ks[1], (view_size, vgg_out)),  # torch.randn (model.py:208)
         "neg_v_emb": randn(ks[2], (view_size, vgg_out)),
         "linear": init_linear(ks[3], vgg_out, 1),

@@ -105,29 +105,20 @@ class NativeVocab:
             self._lib.vocab_free(self._handle)
 
 
-def fast_tokenize_reviews(reviews, word2vec, max_len, sentence_level,
-                          keep_gt=5, return_flat=False, _vocab_cache={}):
-    """reviews: iterable of strings -> list (per doc) of lists of id
-    sequences (numpy int32 views), same contents as the python
-    _tokenize_reviews path.  Returns None if the native library is
-    unavailable (caller falls back).
-
-    With return_flat=True returns (results, flat) where flat is the
-    (flat_ids, sent_starts, doc_sent_start) triple for the C++ history
-    builder -- free when the corpus is all-ASCII (it IS the tokenizer's own
-    output), None when unicode fallbacks made the layout non-contiguous."""
-    if _load() is None:
-        return None
-    # Cache the built C++ vocab per Word2vec instance.  The entry holds a
-    # strong reference to the instance and verifies identity, so a recycled
-    # id() after GC can never alias to the wrong vocabulary.
+def _vocab_for(word2vec, _vocab_cache={}):
+    """Cache the built C++ vocab per Word2vec instance.  The entry holds a
+    strong reference to the instance and verifies identity, so a recycled
+    id() after GC can never alias to the wrong vocabulary."""
     entry = _vocab_cache.get("entry")
     if entry is None or entry[0] is not word2vec:
         entry = (word2vec, NativeVocab(word2vec.vocab[3:]))
         _vocab_cache["entry"] = entry
-    nv = entry[1]
+    return entry[1]
 
-    docs = [str(x) for x in reviews]
+
+def _encode_corpus(docs):
+    """-> (buf bytes, offsets int64 [n+1], total, ascii_mask bool[n]);
+    non-ASCII docs are encoded as empty (the caller python-tokenizes them)."""
     ascii_mask = np.ones(len(docs), bool)
     try:
         # fast path: the whole corpus is ASCII -> one encode, offsets from
@@ -151,6 +142,36 @@ def fast_tokenize_reviews(reviews, word2vec, max_len, sentence_level,
             offs.append(total)
         buf = b"".join(buf_parts)
         offsets = np.asarray(offs, np.int64)
+    return buf, offsets, total, ascii_mask
+
+
+def _python_sentences(doc, word2vec, max_len, sentence_level, keep_gt):
+    parts = (doc.strip(". ").split(".") if sentence_level else [doc])
+    sents = []
+    for sent in parts:
+        ids = word2vec.sent2indices(sent)[:max_len]
+        if len(ids) > keep_gt:
+            sents.append(np.asarray(ids, np.int32))
+    return sents
+
+
+def fast_tokenize_reviews(reviews, word2vec, max_len, sentence_level,
+                          keep_gt=5, return_flat=False):
+    """reviews: iterable of strings -> list (per doc) of lists of id
+    sequences (numpy int32 views), same contents as the python
+    _tokenize_reviews path.  Returns None if the native library is
+    unavailable (caller falls back).
+
+    With return_flat=True returns (results, flat) where flat is the
+    (flat_ids, sent_starts, doc_sent_start) triple for the C++ history
+    builder -- free when the corpus is all-ASCII (it IS the tokenizer's own
+    output), None when unicode fallbacks made the layout non-contiguous."""
+    if _load() is None:
+        return None
+    nv = _vocab_for(word2vec)
+
+    docs = [str(x) for x in reviews]
+    buf, offsets, total, ascii_mask = _encode_corpus(docs)
 
     cap_ids = max(total + 16, 1024)  # <= one id per byte
     cap_sents = max(total // 2 + len(docs) + 16, 1024)
@@ -178,14 +199,8 @@ def fast_tokenize_reviews(reviews, word2vec, max_len, sentence_level,
     for i, cnt in enumerate(doc_counts):
         if not ascii_mask[i]:
             # unicode document: exact python path
-            parts = (docs[i].strip(". ").split(".") if sentence_level
-                     else [docs[i]])
-            sents = []
-            for sent in parts:
-                ids = word2vec.sent2indices(sent)[:max_len]
-                if len(ids) > keep_gt:
-                    sents.append(ids)
-            results.append(sents)
+            results.append(_python_sentences(docs[i], word2vec, max_len,
+                                             sentence_level, keep_gt))
             si += cnt  # native output for this doc (empty) is skipped
             continue
         # numpy views into the flat id buffer (not python lists): ~6x less
@@ -197,6 +212,108 @@ def fast_tokenize_reviews(reviews, word2vec, max_len, sentence_level,
     if return_flat:
         return results, flat
     return results
+
+
+def tokenize_flat(reviews, word2vec, max_len, sentence_level, keep_gt=5):
+    """Low-RSS tokenizer: -> (flat_ids int32, sent_starts int64 [n_sents+1],
+    doc_sent_start int64 [n_docs+1]) with the exact python-path semantics,
+    or None if the native library is unavailable.
+
+    Unlike fast_tokenize_reviews this never materializes per-doc python
+    lists (the dominant host-memory cost at corpus scale); unicode documents
+    are python-tokenized individually and spliced into the flat stream at
+    their doc positions."""
+    if _load() is None:
+        return None
+    nv = _vocab_for(word2vec)
+
+    docs = [str(x) for x in reviews]
+    n_docs = len(docs)
+    buf, offsets, total, ascii_mask = _encode_corpus(docs)
+
+    cap_ids = max(total + 16, 1024)
+    cap_sents = max(total // 2 + n_docs + 16, 1024)
+    out_ids = np.empty(cap_ids, np.int32)
+    sent_starts = np.empty(cap_sents + 1, np.int64)
+    doc_counts = np.empty(n_docs, np.int64)
+    n_sents = _load().tokenize_docs(
+        nv._handle, buf, offsets, n_docs, max_len,
+        1 if sentence_level else 0, keep_gt,
+        out_ids, sent_starts, doc_counts, cap_ids, cap_sents)
+    if n_sents < 0:
+        return None
+    del buf
+    # trim (copies release the byte-sized capacity buffers)
+    flat_ids = out_ids[:int(sent_starts[n_sents])].copy()
+    sent_lens = np.diff(sent_starts[:n_sents + 1])
+    del out_ids, sent_starts
+
+    if not ascii_mask.all():
+        # splice python-tokenized unicode docs into the flat stream at
+        # their doc positions (native output has 0 sentences for them)
+        nat_doc_start = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(doc_counts, out=nat_doc_start[1:])
+        nat_sent_start = np.zeros(len(sent_lens) + 1, np.int64)
+        np.cumsum(sent_lens, out=nat_sent_start[1:])
+        id_parts, len_parts = [], []
+        prev_sent = 0
+        for i in np.flatnonzero(~ascii_mask):
+            sents = _python_sentences(docs[i], word2vec, max_len,
+                                      sentence_level, keep_gt)
+            doc_counts[i] = len(sents)
+            s_at = int(nat_doc_start[i])  # native sentences before doc i
+            id_parts.append(flat_ids[nat_sent_start[prev_sent]:nat_sent_start[s_at]])
+            len_parts.append(sent_lens[prev_sent:s_at])
+            for s in sents:
+                id_parts.append(s)
+                len_parts.append(np.array([len(s)], np.int64))
+            prev_sent = s_at
+        id_parts.append(flat_ids[nat_sent_start[prev_sent]:])
+        len_parts.append(sent_lens[prev_sent:])
+        flat_ids = np.concatenate(id_parts)
+        sent_lens = np.concatenate(len_parts)
+
+    final_sent_starts = np.zeros(len(sent_lens) + 1, np.int64)
+    np.cumsum(sent_lens, out=final_sent_starts[1:])
+    doc_sent_start = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(doc_counts, out=doc_sent_start[1:])
+    return flat_ids, final_sent_starts, doc_sent_start
+
+
+def fast_pack_ui(flat, rows, max_count, max_len, out=None):
+    """Pack each requested row's OWN sentences (the u->i review) into static
+    (n_out, max_count, max_len) arrays with the reference's keep-longest
+    truncation (src/dataset.py:75-85).  Returns (tokens, lengths, counts)
+    or None if the library is unavailable.  `out` optionally supplies the
+    (tokens, lengths, counts) arrays (e.g. memmap slices) to fill in place
+    -- tokens must arrive zeroed and lengths filled with 1."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_ui_bound"):
+        lib.pack_ui.restype = None
+        lib.pack_ui.argtypes = [
+            np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+        ]
+        lib._ui_bound = True
+    flat_ids, sent_starts, doc_sent_start = flat
+    rows = np.ascontiguousarray(rows, np.int64)
+    n_out = len(rows)
+    if out is None:
+        tokens = np.zeros((n_out, max_count, max_len), np.int32)
+        lengths = np.ones((n_out, max_count), np.int32)
+        counts = np.zeros(n_out, np.int32)
+    else:
+        tokens, lengths, counts = out  # caller-owned (zeroed / ones / zeroed)
+    lib.pack_ui(flat_ids, sent_starts, doc_sent_start, rows, n_out,
+                max_count, max_len, tokens.reshape(-1), lengths.reshape(-1),
+                counts)
+    return tokens, lengths, counts
 
 
 def _bind_histories(lib):
@@ -254,13 +371,15 @@ def flatten_tokenized(reviews):
 
 
 def fast_build_histories(lead, costar, flat, retain, min_count, max_count,
-                         max_len, out_row=None, n_out=None):
+                         max_len, out_row=None, n_out=None, out=None):
     """C++ history building + packing (see tokenizer.cpp).  Mutates `retain`
     (a uint8 numpy array) exactly like the reference's retain_idx.
 
     Without out_row: outputs have one slot per input row (caller filters by
     the final retain).  With out_row (int64, -1 = skip) and n_out: outputs
     are written compactly -- the low-RSS path for corpus-scale builds.
+    `out` optionally supplies the (tokens, lengths, counts) arrays (e.g.
+    memmap slices; tokens zeroed, lengths ones) to fill in place.
     Returns (tokens, lengths, counts) or None if the library is
     unavailable."""
     lib = _load()
@@ -272,9 +391,12 @@ def fast_build_histories(lead, costar, flat, retain, min_count, max_count,
     if out_row is None:
         out_row = np.arange(n, dtype=np.int64)
         n_out = n
-    tokens = np.zeros((n_out, max_count, max_len), np.int32)
-    lengths = np.ones((n_out, max_count), np.int32)
-    counts = np.zeros(n_out, np.int32)
+    if out is None:
+        tokens = np.zeros((n_out, max_count, max_len), np.int32)
+        lengths = np.ones((n_out, max_count), np.int32)
+        counts = np.zeros(n_out, np.int32)
+    else:
+        tokens, lengths, counts = out
     lib.build_histories_packed(
         np.ascontiguousarray(lead, np.int64),
         np.ascontiguousarray(costar, np.int64), n,

@@ -243,4 +243,44 @@ void build_histories_packed(
     }
 }
 
+// u->i review packing (reference src/dataset.py:75-85 fused with the static
+// packing step): for each requested row, take its OWN sentences, apply the
+// keep-longest truncation when there are more than max_count (stable sort
+// by descending length, like the histories), and write the packed block.
+// rows: global row index per output slot (length n_out).  out_tokens must
+// be zeroed and out_lengths filled with 1 by the caller.
+void pack_ui(
+    const int32_t* flat_ids, const int64_t* sent_starts,
+    const int64_t* doc_sent_start,
+    const int64_t* rows, int64_t n_out,
+    int32_t max_count, int32_t max_len,
+    int32_t* out_tokens, int32_t* out_lengths, int32_t* out_counts) {
+    std::vector<int64_t> sents;
+    for (int64_t o = 0; o < n_out; o++) {
+        int64_t i = rows[o];
+        sents.clear();
+        for (int64_t s = doc_sent_start[i]; s < doc_sent_start[i + 1]; s++)
+            sents.push_back(s);
+        if (static_cast<int64_t>(sents.size()) > max_count) {
+            std::stable_sort(sents.begin(), sents.end(),
+                             [&](int64_t a, int64_t b) {
+                                 return (sent_starts[a + 1] - sent_starts[a]) >
+                                        (sent_starts[b + 1] - sent_starts[b]);
+                             });
+            sents.resize(max_count);
+        }
+        int32_t cnt = static_cast<int32_t>(sents.size());
+        out_counts[o] = cnt;
+        int32_t* tok_row = out_tokens + o * max_count * max_len;
+        int32_t* len_row = out_lengths + o * max_count;
+        for (int32_t s = 0; s < cnt; s++) {
+            int64_t a = sent_starts[sents[s]];
+            int64_t n = sent_starts[sents[s] + 1] - a;
+            if (n > max_len) n = max_len;
+            memcpy(tok_row + s * max_len, flat_ids + a, n * sizeof(int32_t));
+            len_row[s] = n > 1 ? static_cast<int32_t>(n) : 1;
+        }
+    }
+}
+
 }  // extern "C"

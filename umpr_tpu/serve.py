@@ -69,9 +69,11 @@ class Predictor:
 
     def predict_dataset(self, dataset):
         """-> (predictions (N,), source_rows (N,)) over retained samples."""
-        loader = BatchLoader(dataset, self.config.batch_size,
-                             ignore_photos=self.config.review_net_only,
-                             workers=self.config.data_workers)
+        cfg = self.config
+        loader = BatchLoader(dataset, cfg.batch_size,
+                             ignore_photos=cfg.review_net_only,
+                             resize=(cfg.photo_size, cfg.photo_size),
+                             workers=cfg.data_workers)
         preds = []
         for batch in prefetch_to_device(iter(loader), self.dp,
                                         depth=self.config.prefetch_depth):

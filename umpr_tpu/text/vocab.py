@@ -11,11 +11,20 @@ Reproduces the observable behavior of the reference's ``Word2vec`` class
 - the GloVe text loader appends words in file order (word2vec.py:46-52).
 
 The gensim loader of the reference (word2vec.py:54-64) required the gensim
-package, which this environment does not ship; ``source='arrays'`` replaces it
-for the pretraining path: the pretrainers (umpr_tpu/pretrain) train their own
-skip-gram embeddings and hand the (vocab, vectors) pair straight in, sorted by
-corpus frequency and truncated to ``vocab_size`` exactly like the reference's
-gensim path did.
+package, which this environment does not ship; two replacements cover it:
+
+- ``source='arrays'`` for the pretraining path: the pretrainers
+  (umpr_tpu/pretrain) train their own skip-gram embeddings and hand the
+  (vocab, vectors) pair straight in, sorted by corpus frequency and
+  truncated to ``vocab_size`` exactly like the reference's gensim path did;
+- ``source='word2vec'`` for user-supplied models: the standard word2vec
+  TEXT format (header line ``<count> <dim>``, then ``word v1..vD`` rows).
+  gensim's ``save_word2vec_format`` writes rows in descending corpus
+  frequency, so truncating to ``vocab_size`` rows reproduces the
+  reference's sort-by-frequency-then-truncate semantics
+  (word2vec.py:57-64).  A word2vec header is also auto-detected on the
+  default glove path, so ``--word2vec_file model.txt`` works from the CLI
+  with either format.
 """
 
 from __future__ import annotations
@@ -30,15 +39,24 @@ class Word2vec:
 
     def __init__(self, emb_path=None, source="glove", vocab_size=0, *,
                  vocab=None, vectors=None, counts=None):
-        assert source in ("glove", "arrays"), "Please set embedding source name correctly"
+        assert source in ("glove", "word2vec", "arrays"), \
+            "Please set embedding source name correctly"
         self.padding = self.PAD
         self.unknown = self.UNK
         self.number = self.NUM
         self.vocab = [self.PAD, self.UNK, self.NUM]
         self.word2index = {self.PAD: 0, self.UNK: 1, self.NUM: 2}
 
+        if source == "glove" and self._has_word2vec_header(emb_path):
+            source = "word2vec"  # CLI convenience: sniff the header
         if source == "glove":
             words, vecs = self._read_glove(emb_path)
+        elif source == "word2vec":
+            words, vecs = self._read_word2vec_text(emb_path)
+            if vocab_size > 0:
+                # rows are stored most-frequent-first; head == the
+                # reference's sort-by-count truncation (word2vec.py:57-58)
+                words, vecs = words[:vocab_size], vecs[:vocab_size]
         else:  # 'arrays': in-memory vocabulary, e.g. from the skip-gram pretrainer
             words, vecs = list(vocab), np.asarray(vectors, dtype=np.float32)
             if counts is not None and vocab_size > 0:
@@ -91,7 +109,35 @@ class Word2vec:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _read_glove(emb_path):
+    def _has_word2vec_header(emb_path):
+        """True when the first line is exactly two positive integers
+        (`<count> <dim>`) -- the word2vec text-format header.  A GloVe file
+        starts with `word v1 ...` so the two formats cannot collide."""
+        try:
+            with open(emb_path, encoding="utf-8") as f:
+                tokens = f.readline().split()
+            return (len(tokens) == 2 and tokens[0].isdigit()
+                    and tokens[1].isdigit())
+        except Exception:
+            return False
+
+    @classmethod
+    def _read_word2vec_text(cls, emb_path):
+        """Parse the word2vec text format: header `<count> <dim>`, then
+        `word v1 .. vD` per line (what gensim's save_word2vec_format
+        emits, rows in descending corpus frequency)."""
+        with open(emb_path, encoding="utf-8") as f:
+            header = f.readline().split()
+        count, dim = int(header[0]), int(header[1])
+        words, vecs = cls._read_glove(emb_path, skip_rows=1)
+        if len(words) != count or (len(vecs) and vecs.shape[1] != dim):
+            raise ValueError(
+                f"word2vec file {emb_path}: header says {count}x{dim}, "
+                f"found {len(words)}x{vecs.shape[1] if len(vecs) else 0}")
+        return words, vecs
+
+    @staticmethod
+    def _read_glove(emb_path, skip_rows=0):
         """Parse a GloVe text file: `word v1 v2 ... vD` per line.
 
         Primary path uses pandas' C csv parser (the reference's python loop
@@ -101,7 +147,8 @@ class Word2vec:
         try:
             import pandas as pd
             df = pd.read_csv(emb_path, sep=" ", header=None, quoting=3,
-                             na_filter=False, dtype={0: str}, engine="c")
+                             na_filter=False, dtype={0: str}, engine="c",
+                             skiprows=skip_rows)
             words = df.iloc[:, 0].tolist()
             vecs = df.iloc[:, 1:].to_numpy(dtype=np.float32)
             if not np.isfinite(vecs).all():
@@ -112,6 +159,8 @@ class Word2vec:
         words = []
         rows = []
         with open(emb_path, encoding="utf-8") as f:
+            for _ in range(skip_rows):
+                f.readline()
             for line in f:
                 tokens = line.split()
                 if len(tokens) < 2:

@@ -136,6 +136,7 @@ class Trainer:
                                  if cfg.photo_cache_mb > 0 else None)
         return BatchLoader(dataset, cfg.batch_size, shuffle=shuffle,
                            ignore_photos=cfg.review_net_only, seed=seed,
+                           resize=(cfg.photo_size, cfg.photo_size),
                            workers=cfg.data_workers,
                            photo_cache=self._photo_cache,
                            photo_cache_bytes=cfg.photo_cache_mb << 20)
