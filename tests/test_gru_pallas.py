@@ -69,3 +69,42 @@ def test_backward_under_jit_and_row_tiling():
     for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_io_matches_f32_scan_loosely():
+    """Mixed-precision path: bf16 IO / f32 state.  Values track the f32 scan
+    at bf16 tolerances and masked positions are EXACTLY zero."""
+    params, x, lengths = _setup(3, N=16, L=7, E=8, H=8)
+    pb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    xb = x.astype(jnp.bfloat16)
+
+    y_b = bigru_pallas(pb, xb, lengths)
+    assert y_b.dtype == jnp.bfloat16
+    y_s = bigru_scan(params, x, lengths)
+    np.testing.assert_allclose(np.asarray(y_b, np.float32), np.asarray(y_s),
+                               rtol=0.05, atol=0.05)
+    # exact zeros past each row's length (packed-sequence contract)
+    t = np.arange(y_b.shape[1])[None, :, None]
+    dead = t >= np.asarray(lengths)[:, None, None]
+    masked = np.asarray(y_b, np.float32) * dead
+    np.testing.assert_array_equal(masked, np.zeros_like(masked))
+
+
+def test_bf16_io_gradients_track_f32():
+    params, x, lengths = _setup(4, N=16, L=6, E=8, H=8)
+    pb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    xb = x.astype(jnp.bfloat16)
+
+    def loss(fn, p, xx):
+        y = fn(p, xx, lengths)
+        return jnp.sum((y.astype(jnp.float32)) ** 2)
+
+    gb = jax.grad(lambda p: loss(bigru_pallas, p, xb))(pb)
+    gs = jax.grad(lambda p: loss(bigru_scan, p, x))(params)
+    for a, b in zip(jax.tree.leaves(gb), jax.tree.leaves(gs)):
+        a = np.asarray(a, np.float32).ravel()
+        b = np.asarray(b, np.float32).ravel()
+        # relative error in the l2 sense (elementwise bf16 comparisons are
+        # too noisy for accumulated gradients)
+        denom = np.linalg.norm(b) + 1e-6
+        assert np.linalg.norm(a - b) / denom < 0.05, np.linalg.norm(a - b) / denom

@@ -61,6 +61,10 @@ def init_vgg16(key, num_classes=VGG_OUT, img_size=224):
 
 
 def _maxpool2x2(x):
+    # reduce_window + SelectAndScatter backward measured FASTER on v5e than
+    # the reshape/reduce_max formulation (57.1 vs 61.1 ms VGG16 fwd+bwd at
+    # B=64): XLA fuses the window select well, while reduce_max's
+    # tie-splitting backward pays broadcast-compare + count-divide passes.
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
         window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1), padding="VALID")

@@ -78,8 +78,13 @@ def _make_valid(lengths, tau, H, L, rows):
 
 # ----------------------------------------------------------------- forward
 def _fwd_step(xg_t, h, w, b, lengths, tau, H, L):
-    """One recurrent step on values; returns (h, y_t)."""
-    hg = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+    """One recurrent step on values; returns (h, y_t).
+
+    h is always carried in f32; under bf16 IO the recurrent matmul's
+    operands are bf16 (2x MXU rate) with f32 accumulation, and the gate
+    math stays f32."""
+    xg_t = xg_t.astype(jnp.float32)
+    hg = jnp.dot(h.astype(w.dtype), w, preferred_element_type=jnp.float32) + b
     r = jax.nn.sigmoid(xg_t[:, :2 * H] + hg[:, :2 * H])
     z = jax.nn.sigmoid(xg_t[:, 2 * H:4 * H] + hg[:, 2 * H:4 * H])
     ncand = jnp.tanh(xg_t[:, 4 * H:] + r * hg[:, 4 * H:])
@@ -100,14 +105,14 @@ def _fwd_kernel(xg_ref, len_ref, whh_ref, bhh_ref, y_ref, hs_ref, h_scr,
         h_scr[:] = jnp.zeros_like(h_scr)
 
     lengths = len_ref[:]          # (R, 1) int32
-    h = h_scr[:]                  # (R, 2H)
-    w, b = whh_ref[:], bhh_ref[:]
+    h = h_scr[:]                  # (R, 2H) f32
+    w, b = whh_ref[:], bhh_ref[:].astype(jnp.float32)
     for k in range(T):
         h, y = _fwd_step(xg_ref[:, k * 6 * H:(k + 1) * 6 * H], h, w, b,
                          lengths, t * T + k, H, L)
-        y_ref[:, k * 2 * H:(k + 1) * 2 * H] = y
+        y_ref[:, k * 2 * H:(k + 1) * 2 * H] = y.astype(y_ref.dtype)
         if emit_hs:
-            hs_ref[:, k * 2 * H:(k + 1) * 2 * H] = h
+            hs_ref[:, k * 2 * H:(k + 1) * 2 * H] = h.astype(hs_ref.dtype)
     h_scr[:] = h
 
 
@@ -121,6 +126,7 @@ def _time_tile(L):
 def _pallas_forward(params, xg, lengths, N, L, H, emit_hs):
     R = min(N, MAX_ROWS)
     T = _time_tile(L)
+    io = xg.dtype  # bf16 IO streams half the bytes and runs 2x-rate matmuls
     w_blk = _block_diag_whh(params["fwd"]["w_hh"], params["bwd"]["w_hh"], H)
     b_blk = _interleave_gates(params["fwd"]["bias_hh"],
                               params["bwd"]["bias_hh"], H).reshape(1, -1)
@@ -140,8 +146,8 @@ def _pallas_forward(params, xg, lengths, N, L, H, emit_hs):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, L * 2 * H), jnp.float32),
-            jax.ShapeDtypeStruct((N, (L if emit_hs else T) * 2 * H), jnp.float32),
+            jax.ShapeDtypeStruct((N, L * 2 * H), io),
+            jax.ShapeDtypeStruct((N, (L if emit_hs else T) * 2 * H), io),
         ],
         scratch_shapes=[pltpu.VMEM((R, 2 * H), jnp.float32)],
         cost_estimate=pl.CostEstimate(
@@ -168,16 +174,16 @@ def _unflip(y_cat, N, L, H):
 
 
 def _bigru_pallas_fwd_impl(params, x, lengths, emit_hs=False):
+    """f32 IO computes everything in f32 (exact-parity path); bf16 IO keeps
+    xg / y / hs streams and matmul operands in bf16 (f32 accumulation and
+    f32 carried state inside the kernel) -- the mixed-precision path."""
     N, L, E = x.shape
     H = params["fwd"]["w_hh"].shape[0]
-    out_dtype = x.dtype
     if x.dtype != jnp.float32:
-        # kernels compute in f32; accept bf16 from the mixed-precision path
-        x = x.astype(jnp.float32)
-        params = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+        params = jax.tree.map(lambda a: a.astype(x.dtype), params)
     xg = _build_xg(params, x, H)
     y_cat, hs_cat = _pallas_forward(params, xg, lengths, N, L, H, emit_hs)
-    y = _unflip(y_cat, N, L, H).astype(out_dtype)
+    y = _unflip(y_cat, N, L, H)
     return y, (xg, hs_cat)
 
 
@@ -208,18 +214,25 @@ def _bwd_kernel(xg_ref, hs_prev_ref, dy_ref, len_ref, whh_ref, bhh_ref,
     # h before this step: hs[tau-1], or zeros at tau == 0.  Garbage (padded
     # rows / undefined blocks) may be NaN, so masking must be a select --
     # 0 * NaN is NaN.
-    h_prev = jnp.where(real & (tau > 0), hs_prev_ref[:], 0.0)
+    io = xg_ref.dtype  # bf16 IO: bf16 stream loads + 2x-rate matmul operands
+    # HIGHEST (3-pass f32 contraction) only exists for f32 operands; Mosaic
+    # rejects it on bf16, whose native MXU mode already accumulates in f32.
+    prec = (jax.lax.Precision.HIGHEST if io == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    h_prev = jnp.where(real & (tau > 0),
+                       hs_prev_ref[:].astype(jnp.float32), 0.0)
 
-    xg_t = xg_ref[:]
-    hg = jnp.dot(h_prev, whh_ref[:], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST) + bhh_ref[:]
+    xg_t = xg_ref[:].astype(jnp.float32)
+    hg = jnp.dot(h_prev.astype(io), whh_ref[:],
+                 preferred_element_type=jnp.float32,
+                 precision=prec) + bhh_ref[:].astype(jnp.float32)
     hn_lin = hg[:, 4 * H:]
     r = jax.nn.sigmoid(xg_t[:, :2 * H] + hg[:, :2 * H])
     z = jax.nn.sigmoid(xg_t[:, 2 * H:4 * H] + hg[:, 2 * H:4 * H])
     n = jnp.tanh(xg_t[:, 4 * H:] + r * hn_lin)
 
     valid = _make_valid(lengths, tau, H, L, rows) & real  # (R, 2H) bool
-    g = g_scr[:] + jnp.where(valid, dy_ref[:], 0.0)
+    g = g_scr[:] + jnp.where(valid, dy_ref[:].astype(jnp.float32), 0.0)
 
     dz = g * (h_prev - n)
     dn_pre = g * (1.0 - z) * (1.0 - n * n)
@@ -231,17 +244,21 @@ def _bwd_kernel(xg_ref, hs_prev_ref, dy_ref, len_ref, whh_ref, bhh_ref,
     dr_pre = jnp.where(valid, dn_pre * hn_lin * r * (1.0 - r), 0.0)
     dz_pre = jnp.where(valid, dz * z * (1.0 - z), 0.0)
 
-    dxg_ref[:] = jnp.concatenate([dr_pre, dz_pre, dn_pre_m], axis=-1)
-    ghh = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)  # (R, 6H)
+    dxg_ref[:] = jnp.concatenate([dr_pre, dz_pre, dn_pre_m],
+                                 axis=-1).astype(io)
+    ghh = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)  # (R, 6H) f32
 
     # dh_prev = g*z + ghh @ W^T  on valid lanes; pass-through elsewhere
-    dh = g * z + jnp.dot(ghh, whh_t_ref[:], preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+    dh = g * z + jnp.dot(ghh.astype(io), whh_t_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=prec)
     g_scr[:] = jnp.where(valid, dh, g)
 
+    # dW accumulation stays f32 in scratch; f32 IO keeps the HIGHEST-
+    # precision contraction, bf16 IO trades it for single-pass MXU rate.
     dw_scr[0] += jax.lax.dot_general(
-        h_prev, ghh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        h_prev.astype(io), ghh.astype(io), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
     db_scr[0] += jnp.sum(ghh, axis=0, keepdims=True)
 
     @pl.when(t == L - 1)
@@ -253,6 +270,7 @@ def _bwd_kernel(xg_ref, hs_prev_ref, dy_ref, len_ref, whh_ref, bhh_ref,
 def _pallas_backward(params, xg, hs_cat, dy_cat, lengths, N, L, H):
     R = min(N, MAX_ROWS)
     n_tiles = pl.cdiv(N, R)
+    io = xg.dtype
     w_blk = _block_diag_whh(params["fwd"]["w_hh"], params["bwd"]["w_hh"], H)
     b_blk = _interleave_gates(params["fwd"]["bias_hh"],
                               params["bwd"]["bias_hh"], H).reshape(1, -1)
@@ -278,7 +296,7 @@ def _pallas_backward(params, xg, hs_cat, dy_cat, lengths, N, L, H):
             pl.BlockSpec((1, 1, 6 * H), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, L * 6 * H), jnp.float32),
+            jax.ShapeDtypeStruct((N, L * 6 * H), io),
             jax.ShapeDtypeStruct((n_tiles, 2 * H, 6 * H), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, 6 * H), jnp.float32),
         ],
@@ -323,13 +341,13 @@ def _vjp_fwd(params, x, lengths):
 def _vjp_bwd(res, dy):
     params, x, lengths, xg, hs_cat = res
     in_dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    p32 = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+    x32 = x  # io dtype throughout: f32 exact path or bf16 mixed precision
+    p32 = jax.tree.map(lambda a: a.astype(in_dtype), params)
     N, L, E = x.shape
     H = params["fwd"]["w_hh"].shape[0]
 
     # consumer grads -> combined-time layout (the unflip is an involution)
-    dy = dy.astype(jnp.float32)
+    dy = dy.astype(in_dtype)
     dy_cat = jnp.concatenate([dy[..., :H], dy[:, ::-1, H:]], axis=-1)
     dy_cat = dy_cat.reshape(N, L * 2 * H)
 
@@ -350,10 +368,12 @@ def _vjp_bwd(res, dy):
     dxg_f, dxg_b_rev = _deinterleave(dxg, H)  # bwd half is in combined time
     x_rev = x32[:, ::-1]
     dx = dxg_f @ p32["fwd"]["w_ih"].T + (dxg_b_rev @ p32["bwd"]["w_ih"].T)[:, ::-1]
-    dw_ih_f = jnp.einsum("nle,nlg->eg", x32, dxg_f)
-    dw_ih_b = jnp.einsum("nle,nlg->eg", x_rev, dxg_b_rev)
-    db_ih_f = dxg_f.sum(axis=(0, 1))
-    db_ih_b = dxg_b_rev.sum(axis=(0, 1))
+    dw_ih_f = jnp.einsum("nle,nlg->eg", x32, dxg_f,
+                         preferred_element_type=jnp.float32)
+    dw_ih_b = jnp.einsum("nle,nlg->eg", x_rev, dxg_b_rev,
+                         preferred_element_type=jnp.float32)
+    db_ih_f = dxg_f.sum(axis=(0, 1), dtype=jnp.float32)
+    db_ih_b = dxg_b_rev.sum(axis=(0, 1), dtype=jnp.float32)
 
     dparams = {
         "fwd": {"w_ih": dw_ih_f, "w_hh": dw_hh_f,
