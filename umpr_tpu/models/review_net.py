@@ -50,12 +50,12 @@ def rnet(p, user_emb, item_emb, u_lengths, i_lengths, exists, use_pallas=False,
     gru_i = gru_ui[B * S:].reshape(B, S * L, -1)
     e = exists.reshape(S * L)
 
-    # Affinity attention (eq. 3-4).  The fused kernel wins big on forward
-    # (3.7x: no (B,P,P) HBM traffic) but its rematerializing backward does
-    # ~3x the matmul work, so training keeps the composite path; callers
-    # enable the kernel for no-grad (eval/serving) graphs.
+    # Affinity attention (eq. 3-4).  The composite XLA path is measured
+    # faster than the fused kernel at every supported shape on v5e, for
+    # both training and eval (see umpr_tpu/ops/attention.py) -- it is the
+    # default; attention_pallas=True opts into the kernel explicitly.
     if attention_pallas is None:
-        attention_pallas = use_pallas
+        attention_pallas = False
     soft_u, soft_i, atte_u, atte_i = affinity_attention(
         gru_u, gru_i, p["M"], e, attention_pallas)
     return gru_u, gru_i, soft_u, soft_i, atte_u, atte_i

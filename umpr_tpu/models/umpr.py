@@ -124,11 +124,11 @@ def umpr_forward(params, batch, dims: ModelDims, train=False, dropout_rng=None):
     i_emb = emb[i_tok]
     ui_emb = emb[ui_tok]   # (B, S_ui, L, E)
 
-    # The fused attention kernel only pays off in no-grad graphs (eval /
-    # serving); training uses the composite XLA attention.
+    # One attention path on merit for train AND eval: the composite XLA
+    # attention is measured faster than the fused kernel at every supported
+    # shape (umpr_tpu/ops/attention.py); use_pallas governs the GRU kernel.
     rn = review_net(params["review_net"], u_emb, i_emb, u_len, i_len, exists,
-                    dims.use_pallas,
-                    attention_pallas=dims.use_pallas and not train)  # (B, 2u)
+                    dims.use_pallas)  # (B, 2u)
 
     if dims.review_net_only:
         prediction = jax.nn.relu(linear(params["linear_fusion"], rn))[:, 0]

@@ -7,13 +7,15 @@
 
 Reference: src/model.py:50-56.  Two implementations with identical numerics:
 
-- composite XLA path (this file): einsum + masked max/softmax; XLA
-  materializes the (B, P, P) affinity tensor in HBM (41 MB per direction at
-  the Music-small config) and stores it again as the tanh residual for the
-  backward pass;
+- composite XLA path (this file): einsum + masked max/softmax.  XLA fuses
+  the tanh+max reductions into the affinity matmul; measured FASTER than
+  the Pallas kernel at every supported shape on v5e (fwd+bwd 0.80 ms vs
+  2.20 ms at B=64/P=400; 3.48 ms vs 5.51 ms at P=1024 -- BENCH_DETAILS.md),
+  so this is the default for BOTH training and eval;
 - fused Pallas kernel (umpr_tpu/ops/attention_pallas.py): per-sample tiles
-  stay in VMEM, nothing (B, P, P)-shaped ever reaches HBM, and the backward
-  rematerializes the affinity tiles instead of loading residuals.
+  stay in VMEM, nothing (B, P, P)-shaped ever reaches HBM, argmax-routed
+  backward.  Kept as a tested, explicitly-requested alternative
+  (use_pallas=True); supports padded P up to its VMEM ceiling.
 """
 
 from __future__ import annotations
@@ -29,9 +31,12 @@ def affinity_attention(gru_u, gru_i, M, exists, use_pallas=False):
     Returns soft_u, soft_i (B, P) and atte_u, atte_i (B, D)."""
     if use_pallas and gru_u.shape[-1] % 128 == 0:
         # kernel blocks are D-wide and must be 128-lane multiples; other
-        # widths (gru_size not a multiple of 64) use the composite path
-        from umpr_tpu.ops.attention_pallas import affinity_attention_pallas
-        return affinity_attention_pallas(gru_u, gru_i, M, exists)
+        # widths (gru_size not a multiple of 64) use the composite path,
+        # as do P beyond the kernel's scoped-VMEM ceiling
+        from umpr_tpu.ops.attention_pallas import (affinity_attention_pallas,
+                                                   max_kernel_p)
+        if -(-gru_u.shape[1] // 128) * 128 <= max_kernel_p():
+            return affinity_attention_pallas(gru_u, gru_i, M, exists)
     A = jnp.tanh(jnp.einsum("bpe,ef,bqf->bpq", gru_i, M, gru_u))
     soft_u = masked_softmax(masked_max(A, exists[None, :, None], axis=-2),
                             exists[None, :], axis=-1)

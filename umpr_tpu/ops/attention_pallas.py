@@ -1,21 +1,35 @@
 """Fused Pallas TPU kernel for the R-Net affinity attention (fwd + bwd).
 
+STATUS (round-2 measurement): the XLA composite path WINS at every shape
+this kernel supports on v5e -- fwd+bwd 0.80 ms vs 2.20 ms at the reference
+shape (B=64, P=400) and 3.48 ms vs 5.51 ms at P=1024, the kernel's VMEM
+ceiling (tools/bench_kernels.py, BENCH_DETAILS.md).  XLA fuses the
+tanh+max reductions into the affinity matmul well enough that the HBM
+traffic this kernel avoids does not dominate, while the kernel pays
+per-sample grid serialization and full-(P, P) VPU passes for the argmax
+residuals.  Production paths therefore use the composite
+(umpr_tpu/ops/attention.py) for BOTH training and eval; the kernel remains
+available via affinity_attention(..., use_pallas=True) as a tested
+alternative and as the starting point for a flash-style P-tiled variant if
+a future config ever pushes P*P activations beyond HBM comfort.
+
 The composite XLA path materializes the (B, P, P) affinity tensor in HBM
-twice (forward value + tanh residual for backward) -- 80+ MB of traffic per
-step at the Music-small config.  Here each sample's P x P affinity tile
-lives only in VMEM:
+(41 MB per direction at the Music-small config).  Here each sample's P x P
+affinity tile lives only in VMEM:
 
 forward, per sample:
     T   = gru_i @ M                     (precomputed outside: one big MXU op)
-    A   = tanh(T @ U^T)                 (P, P) in VMEM
-    At  = tanh(U @ T^T)  (= A^T)        computed as a second matmul so BOTH
-                                        reduction/softmax pipelines run in
-                                        the lane-friendly (1, P) layout
-                                        (transposing (P,P) in VMEM is far
-                                        more expensive than one extra MXU op)
-    soft_u = softmax(max over rows of A,  over existing cols)
-    soft_i = softmax(max over rows of At, over existing cols)
-    atte_u = soft_u @ U;  atte_i = soft_i @ I
+    A   = tanh(T @ U^T)                 (P, P) in VMEM, computed ONCE
+    soft_u = softmax(max over rows of A, over existing cols)   (1, P) lanes
+    soft_i = softmax(max over cols of A, over existing rows)   (P, 1) sublanes
+    atte_u = soft_u @ U;  atte_i = soft_i^T @ I
+
+The u-half reduces over sublanes into the lane-friendly (1, P) layout; the
+i-half stays in (P, 1) orientation end to end (max, exp-normalize, and the
+final contraction all reduce over sublanes), so deriving BOTH directions
+from the single A tile needs no (P, P) transpose -- round 1 paid a second
+tanh(U @ T^T) matmul for the same effect, doubling both the MXU work and
+the tanh transcendentals (the VPU cost that dominates at P = 400).
 
 backward: the forward kernel also emits each column's max value and FIRST
 argmax row (tiny (B, P) residuals), so the backward needs no (P, P)-shaped
@@ -39,7 +53,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from umpr_tpu.ops.masking import NEG_INF
 
-SAMPLES_FWD = 4   # samples per grid step (VMEM-bound)
+def _samples_fwd(P):
+    """Samples per grid step, bounded by scoped VMEM (16 MB): the compiler
+    keeps ~2 (P, P) f32 temporaries live per sample (the affinity tile plus
+    the masked/compare intermediate), so budget 8 MB of tiles per sample
+    batch.  P=512 -> 4, P=1024 -> 1."""
+    return max(1, min(4, (1 << 23) // (P * P * 4) // 2))
+
+
+def max_kernel_p():
+    """Largest padded P the kernel supports: the live (P, P) f32 tiles plus
+    the (B-slice, P) output/residual rows must fit the 16 MB scoped-VMEM
+    limit (P=1280 measured 16.89M > 16M on v5e)."""
+    return 1024
 
 
 def _interpret():
@@ -54,41 +80,55 @@ def _masked_softmax_row(scores, e_col):
     return ex / jnp.sum(ex, axis=1, keepdims=True)
 
 
-def _half_forward(T, U, other, e_row, e_col):
-    """One direction: A = tanh(T @ U^T).
-
-    Returns (soft (1,P), atte (1,D), colmax (1,P), argmax (1,P) int32).
-    colmax/argmax are the backward pass's residuals: the max gradient routes
-    to one (row, col) position per column, so the backward needs no (P,P)
-    recompute at all (first-argmax routing, matching torch.max's vjp)."""
-    A = jnp.tanh(jax.lax.dot_general(T, U, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32))
-    A_m = jnp.where(e_row > 0, A, NEG_INF)      # mask nonexistent rows
-    colmax = jnp.max(A_m, axis=0, keepdims=True)  # (1, P)
-    rows = jax.lax.broadcasted_iota(jnp.int32, A.shape, 0)
-    amax = jnp.min(jnp.where(A_m == colmax, rows, jnp.int32(1 << 30)),
-                   axis=0, keepdims=True)       # first argmax per column
-    soft = _masked_softmax_row(colmax, e_col)
-    atte = jnp.dot(soft, other, preferred_element_type=jnp.float32)  # (1, D)
-    return soft, atte, colmax, amax
+def _masked_softmax_col(scores, e_row):
+    """(P, 1) masked softmax over the sublane axis."""
+    scores = jnp.where(e_row > 0, scores, NEG_INF)
+    m = jnp.max(scores, axis=0, keepdims=True)
+    ex = jnp.exp(scores - m) * e_row
+    return ex / jnp.sum(ex, axis=0, keepdims=True)
 
 
 def _fwd_kernel(t_ref, u_ref, i_ref, erow_ref, ecol_ref,
                 su_ref, si_ref, au_ref, ai_ref, cmu_ref, cmi_ref,
                 amu_ref, ami_ref, *, samples):
+    """Per sample: ONE (P, P) affinity tile, both directions derived from it.
+
+    Residuals for the backward: each direction's max value and FIRST argmax
+    index (tiny (B, P) tensors) -- the max gradient routes to one (row, col)
+    position per lane, so the backward needs no (P, P) recompute at all
+    (first-argmax routing, matching torch.max's vjp)."""
     e_row, e_col = erow_ref[:], ecol_ref[:]
     for s in range(samples):
-        # u-direction: A = tanh(T U^T); i-direction via A^T = tanh(U T^T)
-        soft_u, atte_u, cm_u, am_u = _half_forward(
-            t_ref[s], u_ref[s], u_ref[s], e_row, e_col)
-        soft_i, atte_i, cm_i, am_i = _half_forward(
-            u_ref[s], t_ref[s], i_ref[s], e_row, e_col)
+        T, U = t_ref[s], u_ref[s]
+        # A[p, q] = tanh(T_p . U_q): rows p = item positions, cols q = user
+        A = jnp.tanh(jax.lax.dot_general(T, U, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32))
+
+        # u-half: max over rows (sublanes) -> (1, P) lanes pipeline
+        A_mr = jnp.where(e_row > 0, A, NEG_INF)
+        colmax = jnp.max(A_mr, axis=0, keepdims=True)             # (1, P)
+        rows = jax.lax.broadcasted_iota(jnp.int32, A.shape, 0)
+        am_u = jnp.min(jnp.where(A_mr == colmax, rows, jnp.int32(1 << 30)),
+                       axis=0, keepdims=True)                     # (1, P)
+        soft_u = _masked_softmax_row(colmax, e_col)
+        atte_u = jnp.dot(soft_u, U, preferred_element_type=jnp.float32)
+
+        # i-half: max over cols (lanes) -> (P, 1) sublanes pipeline
+        A_mc = jnp.where(e_col > 0, A, NEG_INF)
+        rowmax = jnp.max(A_mc, axis=1, keepdims=True)             # (P, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, A.shape, 1)
+        am_i = jnp.min(jnp.where(A_mc == rowmax, cols, jnp.int32(1 << 30)),
+                       axis=1, keepdims=True)                     # (P, 1)
+        soft_i = _masked_softmax_col(rowmax, e_row)               # (P, 1)
+        atte_i = jax.lax.dot_general(soft_i, i_ref[s], (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)  # (1, D)
+
         su_ref[s] = soft_u
         si_ref[s] = soft_i
         au_ref[s] = atte_u
         ai_ref[s] = atte_i
-        cmu_ref[s] = cm_u
-        cmi_ref[s] = cm_i
+        cmu_ref[s] = colmax
+        cmi_ref[s] = rowmax
         amu_ref[s] = am_u
         ami_ref[s] = am_i
 
@@ -108,34 +148,37 @@ def _pad(x, n, axis):
 def _specs(samples, P, D):
     big = pl.BlockSpec((samples, P, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     vec_p = pl.BlockSpec((samples, 1, P), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    col_p = pl.BlockSpec((samples, P, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     vec_d = pl.BlockSpec((samples, 1, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return big, vec_p, vec_d, full
+    return big, vec_p, col_p, vec_d, full
 
 
 def _forward(T, U, I, e, B, P, D):
-    big, vec_p, vec_d, full = _specs(SAMPLES_FWD, P, D)
+    samples = _samples_fwd(P)
+    big, vec_p, col_p, vec_d, full = _specs(samples, P, D)
     e_row = e.reshape(P, 1)
     e_col = e.reshape(1, P)
-    kernel = functools.partial(_fwd_kernel, samples=SAMPLES_FWD)
+    kernel = functools.partial(_fwd_kernel, samples=samples)
+    # i-half outputs live in (P, 1) column orientation (see _fwd_kernel)
     return pl.pallas_call(
         kernel,
-        grid=(B // SAMPLES_FWD,),
+        grid=(B // samples,),
         in_specs=[big, big, big, full, full],
-        out_specs=[vec_p, vec_p, vec_d, vec_d, vec_p, vec_p, vec_p, vec_p],
+        out_specs=[vec_p, col_p, vec_d, vec_d, vec_p, col_p, vec_p, col_p],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, P), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((B, P, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, P), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((B, P, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, P), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, P), jnp.int32),
+            jax.ShapeDtypeStruct((B, P, 1), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * B * P * P * D, bytes_accessed=4 * B * P * D * 3,
-            transcendentals=2 * B * P * P),
+            flops=2 * B * P * P * D, bytes_accessed=4 * B * P * D * 3,
+            transcendentals=B * P * P),
         interpret=_interpret(),
     )(T, U, I, e_row, e_col)
 
@@ -153,7 +196,8 @@ def _prep(gru_u, gru_i, M, exists):
     gru_i = gru_i.astype(jnp.float32)
     M = M.astype(jnp.float32)
     P = -(-P0 // 128) * 128
-    B = -(-B0 // SAMPLES_FWD) * SAMPLES_FWD
+    samples = _samples_fwd(P)
+    B = -(-B0 // samples) * samples
     U = _pad(_pad(gru_u, P, 1), B, 0)
     Ifull = _pad(_pad(gru_i, P, 1), B, 0)
     T = (Ifull.reshape(B * P, D) @ M).reshape(B, P, D)  # one big MXU op
@@ -164,7 +208,8 @@ def _prep(gru_u, gru_i, M, exists):
 def _fwd_impl(gru_u, gru_i, M, exists):
     U, Ifull, T, e, B, P, D, B0, P0, dtype = _prep(gru_u, gru_i, M, exists)
     su, si, au, ai, cmu, cmi, amu, ami = _forward(T, U, Ifull, e, B, P, D)
-    out = (su[:B0, 0, :P0].astype(dtype), si[:B0, 0, :P0].astype(dtype),
+    # i-half outputs arrive in (B, P, 1) column orientation
+    out = (su[:B0, 0, :P0].astype(dtype), si[:B0, :P0, 0].astype(dtype),
            au[:B0, 0].astype(dtype), ai[:B0, 0].astype(dtype))
     return out, (gru_u, gru_i, M, exists, su, si, cmu, cmi, amu, ami)
 
@@ -183,9 +228,9 @@ def _vjp_bwd(res, grads):
     gru_u, gru_i, M, exists, su, si, cmu, cmi, amu, ami = res
     dsu0, dsi0, dau0, dai0 = grads
     U, Ifull, T, e, B, P, D, B0, P0, dtype = _prep(gru_u, gru_i, M, exists)
-    soft_u, soft_i = su[:, 0], si[:, 0]          # (B, P)
-    colmax_u, colmax_i = cmu[:, 0], cmi[:, 0]
-    amax_u, amax_i = amu[:, 0], ami[:, 0]        # (B, P) int32
+    soft_u, soft_i = su[:, 0], si[:, :, 0]       # (B, P); i-half is (B, P, 1)
+    colmax_u, colmax_i = cmu[:, 0], cmi[:, :, 0]
+    amax_u, amax_i = amu[:, 0], ami[:, :, 0]     # (B, P) int32
 
     z_p = jnp.zeros((B, P), jnp.float32)
     z_d = jnp.zeros((B, D), jnp.float32)
