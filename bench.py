@@ -1,14 +1,21 @@
-"""Headline benchmark: UMPR-R train throughput, samples/sec/chip.
+"""Headline benchmark: UMPR train throughput, samples/sec/chip.
 
-Matches the BASELINE.json metric: "train+eval samples/sec/chip on Amazon
-Music small" with the >=10x PyTorch-CPU north star.  Shapes follow the
-reference's Music-small defaults (batch 64, S=20 sentences x L=20 tokens
-histories, S_ui=5, GloVe-50d, GRU 64); data is synthetic at those exact
-shapes (the real corpus is not shipped in this environment).
+Covers BOTH BASELINE.json configs:
+  1. UMPR-R (review net only) -- the headline metric/value, matching
+     BENCH_r01 for round-over-round comparability;
+  2. full multi-modal UMPR (224px photos, VGG16, bf16 -- the reference's
+     FLOPs hot spot, src/model.py:201-229), reported in the same JSON line
+     under "full_umpr" with ms/step, samples/sec, achieved TFLOP/s, MFU vs
+     the v5e bf16 peak, and its own torch-CPU ratio.
+
+Shapes follow the reference's Music-small defaults (batch 64, S=20
+sentences x L=20 tokens histories, S_ui=5, GloVe-50d, GRU 64); data is
+synthetic at those exact shapes (the real corpus is not shipped here).
 
 Prints ONE json line:
   {"metric": ..., "value": <tpu samples/sec/chip>, "unit": "samples/sec",
-   "vs_baseline": <tpu / pytorch-cpu ratio, target >= 10>}
+   "vs_baseline": <tpu / pytorch-cpu ratio, target >= 10>,
+   "full_umpr": {...}}
 
 Note: on this machine block_until_ready() does not block through the axon
 relay, so completion is forced by reading back the (scalar) loss.
@@ -93,6 +100,94 @@ def bench_tpu(batch_np):
     return best
 
 
+FULL_B = 64         # flagship config: reference batch size, 224px photos
+FULL_IMG = 224
+V5E_BF16_PEAK = 197e12
+
+
+def make_full_batch(rng, B):
+    from tests.ref_oracle import random_batch
+    return random_batch(rng, B=B, S=S, L=L, S_ui=S_UI, vocab=VOCAB, emb=EMB,
+                        with_photos=True, img=FULL_IMG)
+
+
+def bench_tpu_full(batch_np):
+    """Full multi-modal UMPR train step (photos + VGG16), bf16 mixed
+    precision -- the reference's FLOPs hot spot (src/model.py:201-229)."""
+    import jax
+    import jax.numpy as jnp
+    from umpr_tpu.models.umpr import ModelDims, init_umpr
+    from umpr_tpu.train.optim import make_optimizer, split_frozen
+    from umpr_tpu.train.step import make_train_step
+    from tools.bench_full_umpr import vgg16_flops
+
+    on_tpu = jax.default_backend() == "tpu"
+    dims = ModelDims(review_net_only=False, view_size=1, use_pallas=on_tpu,
+                     photo_size=FULL_IMG, compute_dtype="bfloat16")
+    rng = np.random.default_rng(0)
+    params = init_umpr(jax.random.PRNGKey(0), dims,
+                       rng.standard_normal((VOCAB, EMB)).astype(np.float32))
+    trainable, frozen = split_frozen(params)
+    tx = make_optimizer(1e-3)
+    opt_state = tx.init(trainable)
+    step = make_train_step(dims, tx)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    key = jax.random.PRNGKey(0)
+
+    trainable, opt_state, loss, _ = step(trainable, frozen, opt_state,
+                                         batch, 1e-6, key)
+    float(loss)  # compile + warm
+
+    iters = 20
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            trainable, opt_state, loss, _ = step(trainable, frozen, opt_state,
+                                                 batch, 1e-6, key)
+        float(loss)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    flops = vgg16_flops(FULL_IMG, FULL_B, train=True)  # VGG dominates (~99%)
+    return {"ms_per_step": round(best * 1e3, 2),
+            "samples_per_sec": round(FULL_B / best, 1),
+            "tflops": round(flops / best / 1e12, 1),
+            "mfu_vs_v5e_bf16_peak": round(flops / best / V5E_BF16_PEAK, 3)}
+
+
+def bench_torch_cpu_full(steps=2, B=4):
+    """Reference full UMPR on torch CPU.  B=4 keeps a step tractable on this
+    1-vCPU host; samples/sec normalizes the batch-size difference (smaller B
+    if anything favors neither side strongly: conv work per core saturates)."""
+    import torch
+    from tests.ref_oracle import (import_reference_model, load_umpr,
+                                  batch_to_reference, RefConfig)
+    from umpr_tpu.models.umpr import ModelDims, init_umpr
+    import jax
+
+    ref = import_reference_model()
+    rng = np.random.default_rng(0)
+    dims = ModelDims(review_net_only=False, view_size=1, photo_size=FULL_IMG)
+    params = init_umpr(jax.random.PRNGKey(0), dims,
+                       rng.standard_normal((VOCAB, EMB)).astype(np.float32))
+    model = load_umpr(ref, params, RefConfig(review_net_only=False))
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-6, weight_decay=1e-3)
+    batch_np = make_full_batch(np.random.default_rng(7), B)
+    args = batch_to_reference(batch_np)
+
+    _, loss = model(*args)   # warmup (lazy cudnn-free path init)
+    loss.backward()
+    opt.step()
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        opt.zero_grad()
+        _, loss = model(*args)
+        loss.backward()
+        opt.step()
+    return B * steps / (time.perf_counter() - t0)
+
+
 def bench_torch_cpu(batch_np, steps=3):
     """Reference-equivalent PyTorch-CPU training step on identical shapes,
     using the actual reference implementation from /root/reference."""
@@ -139,6 +234,21 @@ def main():
     rng = np.random.default_rng(42)
     batch_np = make_batch(rng)
     tpu_sps = bench_tpu(batch_np)
+
+    full = None
+    if os.environ.get("UMPR_BENCH_SKIP_FULL") != "1":
+        try:
+            full = bench_tpu_full(make_full_batch(np.random.default_rng(3),
+                                                  FULL_B))
+            try:
+                cpu_full = bench_torch_cpu_full()
+                full["torch_cpu_samples_per_sec"] = round(cpu_full, 3)
+                full["vs_torch_cpu"] = round(full["samples_per_sec"] / cpu_full, 1)
+            except Exception:
+                pass
+        except Exception:
+            full = None
+
     try:
         cpu_sps = bench_torch_cpu(batch_np)
     except Exception:
@@ -148,6 +258,7 @@ def main():
         "value": round(tpu_sps, 1),
         "unit": "samples/sec",
         "vs_baseline": round(tpu_sps / cpu_sps, 2) if cpu_sps == cpu_sps else None,
+        "full_umpr": full,
     }))
 
 

@@ -56,6 +56,13 @@ def main():
     except Exception:
         pass
 
+    # Multi-host: join the global runtime BEFORE any device query, so the
+    # trainer's mesh spans every host's chips (no-op when single-host).
+    from umpr_tpu.parallel import multihost
+    multihost.initialize(config.coordinator_address or None,
+                         config.num_processes or None,
+                         None if config.process_id < 0 else config.process_id)
+
     if config.test_only:
         if not os.path.exists(config.model_path):
             print(f"{config.model_path} is not exist! Please train first "

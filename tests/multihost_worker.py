@@ -1,0 +1,79 @@
+"""Multi-host test worker: N deterministic UMPR-R train steps + an eval.
+
+Runs identically in a single-process runtime (the test process, 8 virtual
+CPU devices) and in a multi-process one (two 4-device processes joined via
+jax.distributed + gloo collectives over localhost -- a real DCN-style
+runtime).  The test asserts the per-step losses match across the two,
+the multi-host analogue of tests/test_parallel.py's N-device == 1-device
+invariant (which the reference's DataParallel bug violated,
+reference readme.md:154-160).
+
+Invoked as a script by tests/test_multihost.py:
+    python multihost_worker.py <process_id> <num_processes> <port> <out>
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def run_steps(n_steps=3, global_batch=16):
+    """Deterministic mini-train: returns per-step losses + a final eval."""
+    import jax
+    import numpy as np
+    from tests.ref_oracle import random_batch
+    from umpr_tpu.models.umpr import ModelDims, init_umpr
+    from umpr_tpu.parallel import multihost
+    from umpr_tpu.parallel.mesh import make_mesh, replicated, batch_sharded
+    from umpr_tpu.train.optim import make_optimizer, split_frozen
+    from umpr_tpu.train.step import make_train_step, make_eval_step
+
+    mesh = make_mesh()
+    rep, dp = replicated(mesh), batch_sharded(mesh)
+
+    rng = np.random.default_rng(5)
+    dims = ModelDims(review_net_only=True)
+    params = init_umpr(jax.random.PRNGKey(0), dims,
+                       rng.standard_normal((60, 16)).astype(np.float32))
+    trainable, frozen = split_frozen(params)
+    trainable = jax.device_put(trainable, rep)
+    frozen = jax.device_put(frozen, rep)
+    tx = make_optimizer(1e-3)
+    opt_state = jax.device_put(tx.init(trainable), rep)
+    step = make_train_step(dims, tx, donate=False)
+    eval_step = make_eval_step(dims)
+
+    losses = []
+    for i in range(n_steps):
+        batch_np = random_batch(np.random.default_rng(100 + i), B=global_batch,
+                                S=5, L=10, S_ui=2, vocab=60, emb=16)
+        batch = multihost.put_global(batch_np, dp)
+        trainable, opt_state, loss, _ = step(trainable, frozen, opt_state,
+                                             batch, 1e-3, jax.random.PRNGKey(1))
+        losses.append(float(loss))
+    batch = multihost.put_global(
+        random_batch(np.random.default_rng(999), B=global_batch,
+                     S=5, L=10, S_ui=2, vocab=60, emb=16), dp)
+    sq, n = eval_step(trainable, frozen, batch)
+    return {"losses": losses, "eval_sq": float(sq), "eval_n": float(n),
+            "n_devices": jax.device_count()}
+
+
+def main():
+    process_id, num_processes, port, out = (
+        int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # beat any TPU sitecustomize
+    from umpr_tpu.parallel import multihost
+    assert multihost.initialize(f"127.0.0.1:{port}", num_processes, process_id)
+    assert jax.process_count() == num_processes
+    result = run_steps()
+    result["process_id"] = jax.process_index()
+    result["local_devices"] = jax.local_device_count()
+    with open(out, "w") as f:
+        json.dump(result, f)
+
+
+if __name__ == "__main__":
+    main()

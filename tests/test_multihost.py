@@ -1,0 +1,86 @@
+"""Multi-host (DCN) training: 2 processes x 4 CPU devices == 1 process x 8.
+
+Spawns two real OS processes joined by jax.distributed (gRPC coordinator +
+gloo collectives over localhost -- the CPU stand-in for DCN), each feeding
+only its local row slice of every global batch, and asserts step-for-step
+loss equality with the single-process 8-device run of the same program.
+This is the cross-host extension of tests/test_parallel.py's
+N-device == 1-device invariant; the reference has no multi-host story at
+all (its only distribution is single-process DataParallel, main.py:81-84).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _spawn(pid, n, port, out):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = REPO
+    env.pop("JAX_PLATFORMS", None)
+    return subprocess.Popen(
+        [sys.executable, WORKER, str(pid), str(n), str(port), out],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    port = _free_port()
+    outs = [str(tmp_path / f"proc{i}.json") for i in range(2)]
+    procs = [_spawn(i, 2, port, outs[i]) for i in range(2)]
+    for p in procs:
+        _, err = p.communicate(timeout=540)
+        assert p.returncode == 0, err.decode()[-3000:]
+
+    results = [json.load(open(o)) for o in outs]
+    for r in results:
+        assert r["n_devices"] == 8 and r["local_devices"] == 4
+
+    # both processes observe identical replicated losses
+    np.testing.assert_array_equal(results[0]["losses"], results[1]["losses"])
+    assert results[0]["eval_sq"] == results[1]["eval_sq"]
+
+    # and they match the single-process 8-device run bit-for-bit up to
+    # collective reduction order (gloo ring vs single-process psum)
+    from tests.multihost_worker import run_steps
+    single = run_steps()
+    assert single["n_devices"] == 8
+    np.testing.assert_allclose(results[0]["losses"], single["losses"],
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(results[0]["eval_sq"], single["eval_sq"],
+                               rtol=2e-5, atol=1e-6)
+    assert results[0]["eval_n"] == single["eval_n"]
+
+
+def test_local_rows_partition():
+    """Single-process degenerate case: the full slice."""
+    from umpr_tpu.parallel import multihost
+    assert multihost.local_rows(16) == slice(0, 16)
+    assert multihost.is_primary()
+
+
+def test_put_global_single_process_is_device_put():
+    import jax
+    from umpr_tpu.parallel import multihost
+    from umpr_tpu.parallel.mesh import make_mesh, batch_sharded
+    dp = batch_sharded(make_mesh())
+    batch = {"x": np.arange(16, dtype=np.float32)}
+    out = multihost.put_global(batch, dp)
+    np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
+    assert out["x"].sharding == dp

@@ -84,6 +84,10 @@ class Config:
                       # of 32 (VGG16's five 2x2 pools).
     profile_dir = ""  # if set, write a jax.profiler trace of a few steps here.
     cache_dataset = True  # cache the packed dataset arrays next to the CSVs (reference: main.py:66-73).
+    coordinator_address = ""  # multi-host: coordinator "host:port". Empty = single-host,
+                              # unless a TPU-pod launcher already set JAX_COORDINATOR_ADDRESS.
+    num_processes = 0  # multi-host: total process count (0 = single-host / pod auto-detect).
+    process_id = -1  # multi-host: this process's id (-1 = auto-detect).
     build_chunk_rows = 1000000  # CSV rows per chunk for the streaming (low-RSS)
                                 # dataset build; 0 = full-memory build.
 

@@ -28,13 +28,17 @@ from umpr_tpu.data.images import load_photo_batch, PhotoCache
 class BatchLoader:
     def __init__(self, dataset, batch_size, shuffle=False, ignore_photos=True,
                  seed=0, resize=(224, 224), workers=0, pad_to_full=True,
-                 photo_cache=None, photo_cache_bytes=2 << 30):
+                 photo_cache=None, photo_cache_bytes=2 << 30, photo_rows=None):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.ignore_photos = ignore_photos
         self.resize = resize
         self.pad_to_full = pad_to_full
+        # multi-host: decode photos only for this process's row slice of the
+        # global batch (other hosts' rows are never read from this process's
+        # shard assembly; their slots stay zero)
+        self.photo_rows = photo_rows
         self._rng = np.random.default_rng(seed)
         self._executor = ThreadPoolExecutor(max_workers=workers) if workers > 0 else None
         if photo_cache is None and not ignore_photos and photo_cache_bytes > 0:
@@ -72,6 +76,11 @@ class BatchLoader:
             if n_real < b:
                 paths = paths.copy()
                 paths[n_real:] = ""
+            if self.photo_rows is not None:
+                keep = np.zeros(b, dtype=bool)
+                keep[self.photo_rows] = True
+                paths = paths.copy()
+                paths[~keep] = ""
             batch["photos"] = load_photo_batch(paths, self.resize, self._executor,
                                                self.photo_cache)
         return batch
@@ -118,12 +127,15 @@ def prefetch_to_device(batches, sharding=None, depth=2):
     across the mesh -- the TPU analogue of DataParallel scatter
     (reference: main.py:82), minus the per-shard length pitfalls
     (reference readme.md:154-160) because shapes are globally static.
+    Under a multi-host runtime each process contributes only its local rows
+    (see umpr_tpu.parallel.multihost).
     """
     import jax
+    from umpr_tpu.parallel.multihost import put_global
 
     def put(batch):
         if sharding is None:
             return {k: jax.device_put(v) for k, v in batch.items()}
-        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        return put_global(batch, sharding)
 
     return prefetch_iter((put(b) for b in batches), depth=depth)

@@ -19,6 +19,7 @@ from tqdm import tqdm
 
 from umpr_tpu.data.loader import BatchLoader, prefetch_to_device
 from umpr_tpu.models.umpr import ModelDims, init_umpr
+from umpr_tpu.parallel import multihost
 from umpr_tpu.parallel.mesh import make_mesh, replicated, batch_sharded
 from umpr_tpu.train import checkpoint as ckpt
 from umpr_tpu.train.optim import (make_optimizer, split_frozen, merge_params,
@@ -73,8 +74,11 @@ class Trainer:
         self.trainable, self.frozen = split_frozen(params)
         self.trainable = jax.device_put(self.trainable, self.rep)
         # original vocab row count, BEFORE any shard-padding: checkpoints
-        # must be mesh-independent (loadable for serving / other meshes)
+        # must be mesh-independent (loadable for serving / other meshes);
+        # the host copy backs checkpoint saves when the device table is
+        # sharded across processes (frozen, so always identical)
         self._vocab_rows = int(self.frozen["embedding"].shape[0])
+        self._host_embedding = np.asarray(word2vec.embedding)
         if config.shard_embedding:
             # Tensor-parallel vocab table: rows sharded over the mesh axis;
             # XLA turns the lookups into dynamic-gathers + collectives.
@@ -122,10 +126,16 @@ class Trainer:
         """Merged params with the embedding stripped back to its original
         row count.  shard_embedding pads the table to a device-count
         multiple, so saving it verbatim would make best/ checkpoints depend
-        on the training mesh and fail restore-shape checks elsewhere."""
+        on the training mesh and fail restore-shape checks elsewhere.
+        Under multi-host + shard_embedding the device table spans processes
+        (not addressable from one host), so the saved copy is the original
+        host-side table -- identical by construction: it is frozen."""
         frozen = self.frozen
         if int(frozen["embedding"].shape[0]) != self._vocab_rows:
-            frozen = {"embedding": frozen["embedding"][: self._vocab_rows]}
+            emb = frozen["embedding"]
+            if not emb.is_fully_addressable:
+                emb = self._host_embedding
+            frozen = {"embedding": np.asarray(emb)[: self._vocab_rows]}
         return merge_params(self.trainable, frozen)
 
     def _loader(self, dataset, shuffle=False, seed=0):
@@ -134,12 +144,17 @@ class Trainer:
             from umpr_tpu.data.images import PhotoCache
             self._photo_cache = (PhotoCache(cfg.photo_cache_mb << 20)
                                  if cfg.photo_cache_mb > 0 else None)
+        # multi-host: every process builds the same deterministic loader but
+        # decodes photos only for its own row slice of each global batch
+        photo_rows = (multihost.local_rows(cfg.batch_size)
+                      if jax.process_count() > 1 else None)
         return BatchLoader(dataset, cfg.batch_size, shuffle=shuffle,
                            ignore_photos=cfg.review_net_only, seed=seed,
                            resize=(cfg.photo_size, cfg.photo_size),
                            workers=cfg.data_workers,
                            photo_cache=self._photo_cache,
-                           photo_cache_bytes=cfg.photo_cache_mb << 20)
+                           photo_cache_bytes=cfg.photo_cache_mb << 20,
+                           photo_rows=photo_rows)
 
     def _device_batches(self, loader):
         return prefetch_to_device(iter(loader), self.dp,
@@ -166,13 +181,13 @@ class Trainer:
                 if len(buf) == k:
                     stacked = {key: np.stack([b[key] for b in buf])
                                for key in buf[0]}
-                    dev = {key: jax.device_put(v, self.dp_stacked)
-                           for key, v in stacked.items()}
+                    # stacked chunks are (k, B, ...): batch axis is axis 1
+                    dev = multihost.put_global(stacked, self.dp_stacked,
+                                               batch_axis=1)
                     yield ("chunk", (dev, k))
                     buf = []
             for hb in buf:
-                yield ("single", {key: jax.device_put(v, self.dp)
-                                  for key, v in hb.items()})
+                yield ("single", multihost.put_global(hb, self.dp))
 
         yield from prefetch_iter(gen(), depth=self.config.prefetch_depth)
 
@@ -224,7 +239,8 @@ class Trainer:
                                 f"train loss {float(total_loss) / float(total_samples):.6f}; "
                                 f"valid mse {valid_mse:.6f}")
                     if self.best_loss > valid_mse:
-                        ckpt.save_best(model_path, self._checkpoint_params())
+                        if multihost.is_primary():  # one writer per run
+                            ckpt.save_best(model_path, self._checkpoint_params())
                         self.best_loss = valid_mse
 
             started_profile = False
@@ -269,9 +285,10 @@ class Trainer:
 
             logger.info(f"Epoch {epoch:3d} done; train loss "
                         f"{float(total_loss) / max(float(total_samples), 1.0):.6f}")
-            ckpt.save_last(model_path, self.trainable, self.opt_state,
-                           epoch=epoch + 1, batch_counter=self.batch_counter,
-                           best_loss=self.best_loss)
+            if multihost.is_primary():
+                ckpt.save_last(model_path, self.trainable, self.opt_state,
+                               epoch=epoch + 1, batch_counter=self.batch_counter,
+                               best_loss=self.best_loss)
             if self.batch_counter > cfg.max_batches:
                 break
 
