@@ -111,7 +111,7 @@ def make_full_batch(rng, B):
                         with_photos=True, img=FULL_IMG)
 
 
-def bench_tpu_full(batch_np):
+def bench_tpu_full(batch_np, B):
     """Full multi-modal UMPR train step (photos + VGG16), bf16 mixed
     precision -- the reference's FLOPs hot spot (src/model.py:201-229)."""
     import jax
@@ -147,9 +147,10 @@ def bench_tpu_full(batch_np):
                                                  batch, 1e-6, key)
         float(loss)
         best = min(best, (time.perf_counter() - t0) / iters)
-    flops = vgg16_flops(FULL_IMG, FULL_B, train=True)  # VGG dominates (~99%)
-    return {"ms_per_step": round(best * 1e3, 2),
-            "samples_per_sec": round(FULL_B / best, 1),
+    flops = vgg16_flops(FULL_IMG, B, train=True)  # VGG dominates (~99%)
+    return {"batch": B,
+            "ms_per_step": round(best * 1e3, 2),
+            "samples_per_sec": round(B / best, 1),
             "tflops": round(flops / best / 1e12, 1),
             "mfu_vs_v5e_bf16_peak": round(flops / best / V5E_BF16_PEAK, 3)}
 
@@ -235,11 +236,17 @@ def main():
     batch_np = make_batch(rng)
     tpu_sps = bench_tpu(batch_np)
 
-    full = None
+    full = full_b128 = None
     if os.environ.get("UMPR_BENCH_SKIP_FULL") != "1":
         try:
             full = bench_tpu_full(make_full_batch(np.random.default_rng(3),
-                                                  FULL_B))
+                                                  FULL_B), FULL_B)
+            # throughput mode: B=128 amortizes the f32 grad/Adam traffic of
+            # VGG16's 138M params and deepens the dW contractions (61.7% MFU
+            # plateau, flat through B=256 -- BENCH_DETAILS.md)
+            full_b128 = bench_tpu_full(
+                make_full_batch(np.random.default_rng(3), 2 * FULL_B),
+                2 * FULL_B)
             try:
                 cpu_full = bench_torch_cpu_full()
                 full["torch_cpu_samples_per_sec"] = round(cpu_full, 3)
@@ -259,6 +266,7 @@ def main():
         "unit": "samples/sec",
         "vs_baseline": round(tpu_sps / cpu_sps, 2) if cpu_sps == cpu_sps else None,
         "full_umpr": full,
+        "full_umpr_throughput_mode": full_b128,
     }))
 
 

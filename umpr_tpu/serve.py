@@ -2,8 +2,8 @@
 
 The reference only exposes test() (MSE over a labeled split, main.py:88-99);
 production deployment needs predictions for (user, item) pairs.  This module
-adds a jitted no-grad predict path (which also enables the fused attention
-kernel -- see umpr_tpu/ops/attention_pallas.py) and a CLI:
+adds a jitted no-grad predict path (the composite XLA attention -- measured
+fastest for serving too, see umpr_tpu/ops/attention.py) and a CLI:
 
     python -m umpr_tpu.serve --data_dir data/music \
         --word2vec_file embedding/glove.6B.50d.txt \
