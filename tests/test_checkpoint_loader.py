@@ -138,3 +138,44 @@ def test_photo_cache_lru_eviction(tmp_path):
     for p in paths * 3:
         big.get(p, (32, 32))
     assert big.misses == 4 and big.hits == 8
+
+
+def test_orbax_backend_roundtrip_and_autodetect(tmp_path):
+    """save with the orbax backend; restore_pytree auto-detects the format."""
+    rng = np.random.default_rng(3)
+    dims = ModelDims(review_net_only=True)
+    params = init_umpr(jax.random.PRNGKey(2), dims,
+                       rng.standard_normal((30, 8)).astype(np.float32))
+    trainable, frozen = split_frozen(params)
+    tx = make_optimizer(1e-3)
+    opt_state = tx.init(trainable)
+    root = str(tmp_path / "run")
+
+    ckpt.save_best(root, params, backend="orbax")
+    ckpt.save_last(root, trainable, opt_state, backend="orbax",
+                   epoch=3, batch_counter=42, best_loss=1.5)
+
+    like = init_umpr(jax.random.PRNGKey(9), dims,
+                     np.zeros((30, 8), np.float32))
+    restored = ckpt.restore_best(root, like)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    tr2, opt2, meta = ckpt.restore_last(root, trainable, opt_state)
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(opt2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert meta == {"epoch": 3, "batch_counter": 42, "best_loss": 1.5}
+
+    # a second save overwrites cleanly (same semantics as npz)
+    ckpt.save_best(root, restored, backend="orbax")
+    ckpt.restore_best(root, like)
+
+
+def test_orbax_backend_rejects_renamed_tree(tmp_path):
+    import pytest
+    root = str(tmp_path / "run")
+    tree = {"a": np.ones((2, 2), np.float32), "b": np.zeros(3, np.float32)}
+    ckpt.save_pytree(root, tree, backend="orbax")
+    renamed = {"a": np.ones((2, 2), np.float32), "c": np.zeros(3, np.float32)}
+    with pytest.raises(Exception):
+        ckpt.restore_pytree(root, renamed)

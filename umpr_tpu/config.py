@@ -84,6 +84,9 @@ class Config:
                       # of 32 (VGG16's five 2x2 pools).
     profile_dir = ""  # if set, write a jax.profiler trace of a few steps here.
     cache_dataset = True  # cache the packed dataset arrays next to the CSVs (reference: main.py:66-73).
+    checkpoint_backend = "npz"  # 'npz' (path-keyed arrays, no deps) | 'orbax'
+                                # (standard JAX checkpoint library; interop with
+                                # the wider ecosystem). Restore auto-detects.
     coordinator_address = ""  # multi-host: coordinator "host:port". Empty = single-host,
                               # unless a TPU-pod launcher already set JAX_COORDINATOR_ADDRESS.
     num_processes = 0  # multi-host: total process count (0 = single-host / pod auto-detect).
@@ -110,6 +113,7 @@ class Config:
             '"review_level" must be equal to "sentence" or "review"!'
         )
         assert self.compute_dtype in ("float32", "bfloat16")
+        assert self.checkpoint_backend in ("npz", "orbax")
         assert self.photo_size % 32 == 0 and self.photo_size > 0, (
             '"photo_size" must be a positive multiple of 32!')
 

@@ -6,12 +6,17 @@ restarts from scratch.  This keeps the same save-on-best policy and adds
 what the reference lacks: optimizer state and progress counters, so
 ``--resume_path`` continues a run exactly where it stopped.
 
-Format: npz of leaves **keyed by pytree path** plus a versioned
-``structure.json`` (treedef fingerprint + key list).  Restore resolves
-leaves by path, so a renamed or reordered params dict fails loudly instead
-of silently loading weights into the wrong parameters; legacy order-based
-(v0) checkpoints are still readable but only when their structure
-fingerprint matches exactly.
+Formats (selected by ``--checkpoint_backend``, auto-detected on restore):
+
+- ``npz`` (default): leaves **keyed by pytree path** plus a versioned
+  ``structure.json`` (treedef fingerprint + key list).  Restore resolves
+  leaves by path, so a renamed or reordered params dict fails loudly
+  instead of silently loading weights into the wrong parameters; legacy
+  order-based (v0) checkpoints are still readable but only when their
+  structure fingerprint matches exactly.
+- ``orbax``: the standard JAX checkpoint library (per-leaf OCDBT store,
+  same path-keyed safety, plus ecosystem interop -- other JAX tools can
+  read the run's checkpoints directly).
 
 Layout under a checkpoint root:
     best/      -- params at the best validation MSE (what test() loads)
@@ -36,9 +41,35 @@ def _flatten_with_keys(tree):
     return keys, leaves, str(treedef)
 
 
-def save_pytree(path, tree):
-    """Save a pytree of arrays as npz with path-keyed leaves."""
+def _orbax_dir(path):
+    return os.path.join(os.path.abspath(path), "orbax")
+
+
+def _save_orbax(path, tree):
+    import orbax.checkpoint as ocp
+    target = _orbax_dir(path)
+    host_tree = jax.tree.map(np.asarray, tree)
+    with ocp.StandardCheckpointer() as ckptr:
+        if os.path.exists(target):
+            import shutil
+            shutil.rmtree(target)  # same overwrite semantics as the npz path
+        ckptr.save(target, host_tree)
+
+
+def _restore_orbax(path, like):
+    import orbax.checkpoint as ocp
+    host_like = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), like)
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(_orbax_dir(path), host_like)
+    return jax.tree.map(jax.numpy.asarray, restored)
+
+
+def save_pytree(path, tree, backend="npz"):
+    """Save a pytree of arrays, path-keyed (npz or orbax backend)."""
     os.makedirs(path, exist_ok=True)
+    if backend == "orbax":
+        return _save_orbax(path, tree)
     keys, leaves, fingerprint = _flatten_with_keys(tree)
     if len(set(keys)) != len(keys):
         raise ValueError("pytree has duplicate path keys; cannot checkpoint")
@@ -69,8 +100,12 @@ def restore_pytree(path, like):
     """Restore into the structure of `like` (constructed by init code).
 
     Leaves are matched by pytree path; missing or extra keys raise with the
-    offending paths named.
+    offending paths named.  The on-disk backend (npz vs orbax) is
+    auto-detected, so any consumer can read any producer's checkpoints.
     """
+    if (not os.path.exists(os.path.join(path, "structure.json"))
+            and os.path.exists(_orbax_dir(path))):
+        return _restore_orbax(path, like)
     keys, leaves, like_fingerprint = _flatten_with_keys(like)
     with open(os.path.join(path, "structure.json")) as f:
         meta = json.load(f)
@@ -109,17 +144,17 @@ def load_meta(path):
         return json.load(f)
 
 
-def save_best(root, params):
-    save_pytree(os.path.join(root, "best"), params)
+def save_best(root, params, backend="npz"):
+    save_pytree(os.path.join(root, "best"), params, backend)
 
 
 def restore_best(root, like_params):
     return restore_pytree(os.path.join(root, "best"), like_params)
 
 
-def save_last(root, trainable, opt_state, **meta):
+def save_last(root, trainable, opt_state, backend="npz", **meta):
     path = os.path.join(root, "last")
-    save_pytree(path, {"trainable": trainable, "opt_state": opt_state})
+    save_pytree(path, {"trainable": trainable, "opt_state": opt_state}, backend)
     save_meta(path, **meta)
 
 

@@ -240,7 +240,8 @@ class Trainer:
                                 f"valid mse {valid_mse:.6f}")
                     if self.best_loss > valid_mse:
                         if multihost.is_primary():  # one writer per run
-                            ckpt.save_best(model_path, self._checkpoint_params())
+                            ckpt.save_best(model_path, self._checkpoint_params(),
+                                           cfg.checkpoint_backend)
                         self.best_loss = valid_mse
 
             started_profile = False
@@ -287,6 +288,7 @@ class Trainer:
                         f"{float(total_loss) / max(float(total_samples), 1.0):.6f}")
             if multihost.is_primary():
                 ckpt.save_last(model_path, self.trainable, self.opt_state,
+                               backend=cfg.checkpoint_backend,
                                epoch=epoch + 1, batch_counter=self.batch_counter,
                                best_loss=self.best_loss)
             if self.batch_counter > cfg.max_batches:
