@@ -115,3 +115,56 @@ def test_review_parity_shape_fuzz(case):
         ref_pred, ref_loss = model(*batch_to_reference(batch))
     np.testing.assert_allclose(ours_pred, ref_pred.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(ours_loss, float(ref_loss), rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_mixed_precision_tracks_f32():
+    """compute_dtype='bfloat16' runs the whole model (GRU kernel path
+    included) in bf16 IO with f32 loss; values and gradients track the f32
+    model at bf16 tolerances.  Guards the mixed-precision plumbing the TPU
+    benches rely on (visual-net dtype detection, kernel bf16 IO, f32 loss)."""
+    import jax.numpy as jnp
+    from umpr_tpu.train.optim import split_frozen, merge_params
+
+    rng = np.random.default_rng(11)
+    batch = random_batch(rng, B=4, S=5, L=10, S_ui=2, V=1, P=1, vocab=60,
+                         emb=16, with_photos=True, img=32)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    word_emb = rng.standard_normal((60, 16)).astype(np.float32)
+
+    dims32 = ModelDims(review_net_only=False, view_size=1, photo_size=32,
+                       use_pallas=True)
+    dims16 = ModelDims(review_net_only=False, view_size=1, photo_size=32,
+                       use_pallas=True, compute_dtype="bfloat16")
+    params = init_umpr(jax.random.PRNGKey(3), dims32, word_emb)
+    trainable, frozen = split_frozen(params)
+
+    def loss_fn(dims):
+        def f(tr):
+            p = merge_params(tr, frozen)
+            pred, loss, _ = umpr_forward(p, batch, dims, train=False)
+            return loss, pred
+        return f
+
+    (l32, p32), g32 = jax.value_and_grad(loss_fn(dims32), has_aux=True)(trainable)
+    (l16, p16), g16 = jax.value_and_grad(loss_fn(dims16), has_aux=True)(trainable)
+
+    assert l16.dtype == jnp.float32 and p16.dtype == jnp.float32
+    np.testing.assert_allclose(float(l16), float(l32), rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(p16), np.asarray(p32),
+                               rtol=0.08, atol=0.08)
+    # gradients exist for every trainable leaf, are finite, f32, and track
+    # f32 in the l2 sense (elementwise bf16 comparisons are too noisy)
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(g16),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(g32),
+                   key=lambda kv: str(kv[0]))):
+        assert str(ka) == str(kb)
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        assert np.all(np.isfinite(a)), ka
+        denom = np.linalg.norm(b)
+        if denom > 1e-3:  # skip near-zero grads (dead ReLU head paths)
+            # 0.3: the affinity M grad routes through argmax positions of a
+            # bf16-rounded tanh -- small-norm grads legitimately wobble ~0.2
+            assert np.linalg.norm(a - b) / denom < 0.3, (ka, np.linalg.norm(a - b) / denom)
