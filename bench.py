@@ -241,20 +241,28 @@ def main():
         try:
             full = bench_tpu_full(make_full_batch(np.random.default_rng(3),
                                                   FULL_B), FULL_B)
+        except Exception as e:
+            print(f"full-UMPR bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        if full is not None:
             # throughput mode: B=128 amortizes the f32 grad/Adam traffic of
             # VGG16's 138M params and deepens the dW contractions (61.7% MFU
-            # plateau, flat through B=256 -- BENCH_DETAILS.md)
-            full_b128 = bench_tpu_full(
-                make_full_batch(np.random.default_rng(3), 2 * FULL_B),
-                2 * FULL_B)
+            # plateau, flat through B=256 -- BENCH_DETAILS.md).  Failures
+            # here must not discard the B=64 result.
+            try:
+                full_b128 = bench_tpu_full(
+                    make_full_batch(np.random.default_rng(3), 2 * FULL_B),
+                    2 * FULL_B)
+            except Exception as e:
+                print(f"B=128 throughput bench failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
             try:
                 cpu_full = bench_torch_cpu_full()
                 full["torch_cpu_samples_per_sec"] = round(cpu_full, 3)
                 full["vs_torch_cpu"] = round(full["samples_per_sec"] / cpu_full, 1)
-            except Exception:
-                pass
-        except Exception:
-            full = None
+            except Exception as e:
+                print(f"torch-CPU full probe failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
 
     try:
         cpu_sps = bench_torch_cpu(batch_np)

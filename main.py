@@ -18,9 +18,22 @@ from umpr_tpu.utils.logging import get_logger, date
 
 
 def load_split(name, csv_path, photo_json, photo_dir, w2v, config, logger):
+    """Load a packed split from cache or build it.
+
+    Multi-host: only process 0 writes the cache (concurrent memmap writers
+    on a shared filesystem would corrupt it); everyone else waits at a
+    barrier, then reads the cache -- or builds in memory if the filesystem
+    is not shared.  Every process passes the barrier exactly once per
+    split, on every path, so the rendezvous cannot deadlock."""
+    import jax
+    from umpr_tpu.parallel import multihost
+
     cache_dir = os.path.join(config.data_dir, f"dataset_{name}.cache")
     legacy = os.path.join(config.data_dir, f"dataset_{name}.npz")
-    if config.cache_dataset:
+
+    def try_cache():
+        if not config.cache_dataset:
+            return None
         for cache in (cache_dir, legacy):
             try:
                 ds = UMPRDataset.load(cache)
@@ -28,15 +41,32 @@ def load_split(name, csv_path, photo_json, photo_dir, w2v, config, logger):
                 return ds
             except (FileNotFoundError, NotADirectoryError):
                 continue
-    logger.debug(f"Loading {name} dataset.")
-    # with caching on, the streaming build writes its packed arrays straight
-    # into the cache dir as memmaps (no 2nd copy in RSS, no separate save)
-    ds = build_dataset(csv_path, photo_json, photo_dir, w2v, config,
-                       mmap_dir=cache_dir if config.cache_dataset else None)
-    if config.cache_dataset and not os.path.exists(
-            os.path.join(cache_dir, "complete.marker")):
-        ds.save(cache_dir)  # full-memory fallback path: persist explicitly
-    return ds
+        return None
+
+    def build(write_cache):
+        logger.debug(f"Loading {name} dataset.")
+        # with caching on, the streaming build writes its packed arrays
+        # straight into the cache dir as memmaps (no 2nd copy in RSS)
+        ds = build_dataset(csv_path, photo_json, photo_dir, w2v, config,
+                           mmap_dir=cache_dir if write_cache else None)
+        if write_cache and not os.path.exists(
+                os.path.join(cache_dir, "complete.marker")):
+            ds.save(cache_dir)  # full-memory fallback path: persist explicitly
+        return ds
+
+    if jax.process_count() == 1:
+        return try_cache() or build(write_cache=config.cache_dataset)
+
+    ds = try_cache()
+    if ds is not None:
+        multihost.barrier(f"dataset_{name}")
+        return ds
+    if multihost.is_primary():
+        ds = build(write_cache=config.cache_dataset)
+        multihost.barrier(f"dataset_{name}")
+        return ds
+    multihost.barrier(f"dataset_{name}")  # wait for the primary's cache
+    return try_cache() or build(write_cache=False)
 
 
 def main():
@@ -73,8 +103,12 @@ def main():
         # (the reference's basename(".") yields a hidden ".<stamp>" dir)
         save_name = os.path.basename(os.path.abspath(config.data_dir)) + (
             "_review_net" if config.review_net_only else "")
-        stamp = date("%Y%m%d_%H%M%S")
-        config.log_path = config.log_path or f"./log/{save_name}{stamp}.txt"
+        # multi-host: every process must agree on the run's directory names,
+        # so the stamp is process 0's clock; log files stay per-process
+        # (concurrent writers would interleave).
+        stamp = multihost.broadcast_str(date("%Y%m%d_%H%M%S"))
+        proc = (f".p{jax.process_index()}" if jax.process_count() > 1 else "")
+        config.log_path = config.log_path or f"./log/{save_name}{stamp}{proc}.txt"
         config.model_path = config.model_path or f"./model/{save_name}{stamp}"
         os.makedirs(os.path.dirname(config.log_path), exist_ok=True)
         os.makedirs(config.model_path, exist_ok=True)

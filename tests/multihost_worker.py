@@ -68,9 +68,15 @@ def main():
     from umpr_tpu.parallel import multihost
     assert multihost.initialize(f"127.0.0.1:{port}", num_processes, process_id)
     assert jax.process_count() == num_processes
+    # run-name agreement + rendezvous helpers (used by main.py for
+    # timestamped checkpoint dirs and the primary-only dataset-cache build)
+    stamp = multihost.broadcast_str(f"stamp-from-p{process_id}")
+    assert stamp == "stamp-from-p0", stamp
+    multihost.barrier("worker-rendezvous")
     result = run_steps()
     result["process_id"] = jax.process_index()
     result["local_devices"] = jax.local_device_count()
+    result["stamp"] = stamp
     with open(out, "w") as f:
         json.dump(result, f)
 

@@ -92,6 +92,30 @@ def local_rows(global_batch_size):
     return slice(i * per, (i + 1) * per)
 
 
+def barrier(name):
+    """Block until every process reaches this point (no-op single-process).
+    Deadlock rule: every process must call it the same number of times with
+    the same names, in the same order."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
+
+
+def broadcast_str(s, max_len=512):
+    """Process 0's string, visible to every process (no-op single-process).
+    Used to agree on run-derived names (e.g. timestamped checkpoint dirs)
+    that would otherwise diverge across hosts' clocks."""
+    if jax.process_count() == 1:
+        return s
+    from jax.experimental import multihost_utils
+    buf = np.zeros(max_len, np.uint8)
+    b = s.encode("utf-8")[:max_len]
+    buf[: len(b)] = np.frombuffer(b, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return out.tobytes().rstrip(b"\x00").decode("utf-8")
+
+
 def put_global(batch, sharding, batch_axis=0):
     """Host numpy batch dict -> global device arrays under `sharding`.
 

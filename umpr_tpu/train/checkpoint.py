@@ -65,11 +65,28 @@ def _restore_orbax(path, like):
     return jax.tree.map(jax.numpy.asarray, restored)
 
 
+def _clear_other_format(path, keep):
+    """Saving must leave exactly one on-disk format: a stale copy of the
+    other backend would win (or confuse) the restore auto-detection.
+    Called AFTER the new format is fully written, so a crashed save never
+    deletes the only good checkpoint."""
+    if keep != "orbax" and os.path.exists(_orbax_dir(path)):
+        import shutil
+        shutil.rmtree(_orbax_dir(path))
+    if keep != "npz":
+        for name in ("structure.json", "arrays.npz"):
+            p = os.path.join(path, name)
+            if os.path.exists(p):
+                os.remove(p)
+
+
 def save_pytree(path, tree, backend="npz"):
     """Save a pytree of arrays, path-keyed (npz or orbax backend)."""
     os.makedirs(path, exist_ok=True)
     if backend == "orbax":
-        return _save_orbax(path, tree)
+        _save_orbax(path, tree)
+        _clear_other_format(path, keep="orbax")
+        return
     keys, leaves, fingerprint = _flatten_with_keys(tree)
     if len(set(keys)) != len(keys):
         raise ValueError("pytree has duplicate path keys; cannot checkpoint")
@@ -78,6 +95,7 @@ def save_pytree(path, tree, backend="npz"):
     with open(os.path.join(path, "structure.json"), "w") as f:
         json.dump({"version": FORMAT_VERSION, "keys": keys,
                    "fingerprint": fingerprint, "n": len(leaves)}, f)
+    _clear_other_format(path, keep="npz")
 
 
 def _restore_v0(path, meta, keys, leaves, like_fingerprint):

@@ -34,6 +34,13 @@ class Trainer:
         self.logger = logger
         self.w2v = word2vec
         self.dims = ModelDims.from_config(config)
+        if config.checkpoint_backend == "orbax" and jax.process_count() > 1:
+            # Orbax's Checkpointer runs cross-process sync barriers inside
+            # save(); a primary-only call would block at the barrier.  The
+            # npz backend is pure host-side numpy and safe to gate.
+            logger.info("checkpoint_backend=orbax is single-host only; "
+                        "using npz for this multi-host run.")
+            config.checkpoint_backend = "npz"
 
         try:
             devices = jax.devices(config.device) if config.device else jax.devices()
@@ -78,20 +85,9 @@ class Trainer:
         # the host copy backs checkpoint saves when the device table is
         # sharded across processes (frozen, so always identical)
         self._vocab_rows = int(self.frozen["embedding"].shape[0])
-        self._host_embedding = np.asarray(word2vec.embedding)
-        if config.shard_embedding:
-            # Tensor-parallel vocab table: rows sharded over the mesh axis;
-            # XLA turns the lookups into dynamic-gathers + collectives.
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            emb = self.frozen["embedding"]
-            pad = (-emb.shape[0]) % n_dev  # rows must divide over the axis
-            if pad:
-                emb = jax.numpy.concatenate(
-                    [emb, jax.numpy.zeros((pad, emb.shape[1]), emb.dtype)])
-            vocab_sharded = NamedSharding(self.mesh, P("dp", None))
-            self.frozen = {"embedding": jax.device_put(emb, vocab_sharded)}
-        else:
-            self.frozen = jax.device_put(self.frozen, self.rep)
+        self._host_embedding = np.asarray(word2vec.embedding, np.float32)
+        self._n_dev = n_dev
+        self.frozen = self._place_frozen(self.frozen)
 
         self.tx = make_optimizer(config.l2_regularization)
         self.opt_state = jax.device_put(self.tx.init(self.trainable), self.rep)
@@ -122,20 +118,32 @@ class Trainer:
                              f"{self.start_epoch}, batch {self.batch_counter}.")
 
     # ------------------------------------------------------------------
+    def _place_frozen(self, frozen):
+        """Device placement for the frozen embedding: replicated, or -- with
+        --shard_embedding -- rows padded to a device-count multiple and
+        sharded over the mesh axis (tensor parallel; XLA turns lookups into
+        dynamic-gathers + collectives).  Used by both __init__ and test()
+        so eval never silently replicates a table sharded for size."""
+        if not self.config.shard_embedding:
+            return jax.device_put(frozen, self.rep)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        emb = jax.numpy.asarray(frozen["embedding"])
+        pad = (-emb.shape[0]) % self._n_dev
+        if pad:
+            emb = jax.numpy.concatenate(
+                [emb, jax.numpy.zeros((pad, emb.shape[1]), emb.dtype)])
+        vocab_sharded = NamedSharding(self.mesh, P("dp", None))
+        return {"embedding": jax.device_put(emb, vocab_sharded)}
+
     def _checkpoint_params(self):
-        """Merged params with the embedding stripped back to its original
-        row count.  shard_embedding pads the table to a device-count
-        multiple, so saving it verbatim would make best/ checkpoints depend
-        on the training mesh and fail restore-shape checks elsewhere.
-        Under multi-host + shard_embedding the device table spans processes
-        (not addressable from one host), so the saved copy is the original
-        host-side table -- identical by construction: it is frozen."""
-        frozen = self.frozen
-        if int(frozen["embedding"].shape[0]) != self._vocab_rows:
-            emb = frozen["embedding"]
-            if not emb.is_fully_addressable:
-                emb = self._host_embedding
-            frozen = {"embedding": np.asarray(emb)[: self._vocab_rows]}
+        """Merged params with the embedding always taken from the original
+        host-side table (identical to the device copy by construction: it
+        is frozen).  The device table may be shard-padded -- saving it
+        verbatim would make best/ checkpoints depend on the training mesh
+        -- and under multi-host sharding it is not even addressable from
+        one process; the host copy avoids both plus the device->host
+        transfer on every save."""
+        frozen = {"embedding": self._host_embedding[: self._vocab_rows]}
         return merge_params(self.trainable, frozen)
 
     def _loader(self, dataset, shuffle=False, seed=0):
@@ -304,7 +312,9 @@ class Trainer:
         params = ckpt.restore_best(model_path, self._checkpoint_params())
         trainable, frozen = split_frozen(params)
         trainable = jax.device_put(trainable, self.rep)
-        frozen = jax.device_put(frozen, self.rep)
+        # same placement as training: keeps --shard_embedding sharded at
+        # eval (a table sharded for size must not replicate here)
+        frozen = self._place_frozen(frozen)
         loader = self._loader(test_data)
         mse = evaluate_mse(self.eval_step, trainable, frozen,
                            self._device_batches(loader))
