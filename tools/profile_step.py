@@ -58,6 +58,36 @@ def capture(trace_dir, B, steps, dtype, img):
         float(loss)
 
 
+def parse_xplane_direct(path, top):
+    """Direct XSpace-proto parse (the tensorboard plugin converters are
+    version-broken in this environment): aggregate TPU XLA-op durations."""
+    import collections
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+    for plane in xs.planes:
+        if "TPU" not in plane.name:
+            continue
+        meta = {k: v.name for k, v in plane.event_metadata.items()}
+        agg = collections.Counter()
+        total = 0
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                agg[meta.get(ev.metadata_id, str(ev.metadata_id))] += ev.duration_ps
+                total += ev.duration_ps
+        if not total:
+            continue
+        print(f"\n== {plane.name}: total XLA-op time {total/1e9:.2f} ms "
+              f"(all profiled steps) ==")
+        for name, d in agg.most_common(top):
+            print(f"  {d/total:6.2%} {d/1e9:9.3f} ms  {name[:110]}")
+        return True
+    return False
+
+
 def parse(trace_dir, top):
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                              recursive=True))
@@ -65,6 +95,12 @@ def parse(trace_dir, top):
         print("no xplane.pb found under", trace_dir)
         return
     print("xplane:", paths[-1])
+    try:
+        if parse_xplane_direct(paths[-1], top):
+            return
+    except Exception as e:
+        print(f"direct xplane parse failed ({type(e).__name__}: {e}); "
+              "falling back to the tensorboard plugin converters")
     from tensorboard_plugin_profile.convert import raw_to_tool_data
 
     # framework_op_stats gives per-op totals; fall back across tool names
