@@ -248,3 +248,38 @@ def test_word2vec_text_format_loader(tmp_path):
         f.write("word 1.0 2.0\nother 3.0 4.0\n")
     g = Word2vec(str(gpath))
     assert g.vocab[3:] == ["word", "other"]
+
+
+def test_glove_fallback_handles_multitoken_words(tmp_path):
+    """glove.840B-style lines whose 'word' contains spaces ('. . .') crash
+    the reference's loader; ours recovers the vector as the last-dim floats
+    (the pandas fast path rejects the ragged file, the python fallback
+    absorbs it)."""
+    from umpr_tpu.text.vocab import Word2vec
+    p = tmp_path / "glove.txt"
+    p.write_text(
+        "hello 1.0 2.0 3.0\n"
+        ". . . 4.0 5.0 6.0\n"     # multi-token word
+        "broken_line_no_floats a b c\n"  # unparsable: skipped
+        "world 7.0 8.0 9.0\n")
+    w2v = Word2vec(str(p))
+    assert w2v.vocab[3:] == ["hello", ". . .", "world"]
+    np.testing.assert_array_equal(w2v.embedding[4], [4.0, 5.0, 6.0])
+    np.testing.assert_array_equal(
+        w2v.embedding[w2v.word2index["world"]], [7.0, 8.0, 9.0])
+
+
+def test_photo_cache_keys_on_resize(tmp_path):
+    """One cache shared by loaders with different photo sizes must not
+    return the wrong shape."""
+    import cv2
+    from umpr_tpu.data.images import PhotoCache
+    p = str(tmp_path / "a.jpg")
+    cv2.imwrite(p, np.full((64, 64, 3), 128, np.uint8))
+    cache = PhotoCache(10 << 20)
+    a = cache.get(p, (32, 32))
+    b = cache.get(p, (16, 16))
+    assert a.shape == (32, 32, 3) and b.shape == (16, 16, 3)
+    assert cache.hits == 0 and cache.misses == 2
+    assert cache.get(p, (32, 32)).shape == (32, 32, 3)
+    assert cache.hits == 1

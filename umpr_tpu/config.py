@@ -60,7 +60,10 @@ class Config:
     seed = 0  # PRNG seed for parameter init and batch shuffling.
     compute_dtype = "float32"  # 'float32' | 'bfloat16' matmul/activation dtype.
     eval_every = 500  # validation cadence in batches (reference hard-codes 500, main.py:43).
-    max_batches = 50000  # hard stop on total batches (reference hard-codes 50000, main.py:56).
+    max_batches = 50000  # stop once total batches exceed this, checked at epoch
+                         # boundaries exactly like the reference (main.py:56-57
+                         # breaks the EPOCH loop, so a run can overshoot by up
+                         # to one epoch; parity-preserved).
     prefetch_depth = 2  # host pipeline look-ahead batches (device double buffering).
     steps_per_dispatch = 1  # train steps per jit dispatch (lax.scan over stacked
                             # batches); amortizes per-dispatch host latency on

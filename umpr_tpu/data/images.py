@@ -60,7 +60,10 @@ class PhotoCache:
         self.misses = 0
 
     def get(self, path, resize):
-        key = path
+        # resize is part of the key: one cache may serve loaders with
+        # different photo sizes (serving vs training), and a hit of the
+        # wrong shape would corrupt the batch stack
+        key = (path, resize)
         with self._lock:
             img = self._d.get(key)
             if img is not None:
@@ -80,11 +83,19 @@ class PhotoCache:
 
 
 def load_photo_batch(paths, resize=(224, 224), executor=None, cache=None):
-    """paths: (B, V, P) array of path strings -> (B, V, P, H, W, 3) uint8."""
+    """paths: (B, V, P) array of path strings -> (B, V, P, H, W, 3) uint8.
+
+    cache + executor compose: cold-cache decodes fan out across the worker
+    pool (PhotoCache.get decodes outside its lock, so parallel misses are
+    safe and duplicate decodes of one path are merely redundant work), then
+    land in the cache for the next epoch."""
     b, v, p = paths.shape
     flat = paths.reshape(-1)
     if cache is not None:
-        imgs = [cache.get(s, resize) for s in flat]
+        if executor is not None:
+            imgs = list(executor.map(lambda s: cache.get(s, resize), flat))
+        else:
+            imgs = [cache.get(s, resize) for s in flat]
     elif executor is not None:
         imgs = list(executor.map(lambda s: get_image(s, resize), flat))
     else:

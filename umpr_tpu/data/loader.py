@@ -95,29 +95,48 @@ class BatchLoader:
 
 
 def prefetch_iter(iterator, depth=2):
-    """Run `iterator` in a background thread, `depth` items ahead."""
+    """Run `iterator` in a background thread, `depth` items ahead.
+
+    Abandonment-safe: when the consumer stops early (break / GC closes this
+    generator), the worker notices the stop flag at its next bounded put and
+    exits, releasing the queued batches -- otherwise a max_batches break
+    would pin depth+1 decoded photo batches for the rest of the process."""
     q = queue.Queue(maxsize=depth)
     sentinel = object()
     err = []
+    stop = threading.Event()
+
+    def put(item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                if not put(item):
+                    return
         except BaseException as e:  # surface worker errors in the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            put(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def prefetch_to_device(batches, sharding=None, depth=2):

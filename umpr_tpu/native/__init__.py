@@ -33,11 +33,27 @@ _build_failed = False
 _log = logging.getLogger("umpr_tpu.native")
 
 
+def _cpu_tag():
+    """Discriminates CPU capability in the cache key: -march=native codegen
+    built on one host SIGILLs on a lesser host, and cluster nodes commonly
+    share $HOME over NFS -- `platform.machine()` alone cannot tell an
+    AVX-512 x86_64 from a plain one."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    return hashlib.sha256(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "generic"
+
+
 def _so_path():
     """Cache path for the built library: keyed on a content hash of the
-    C++ source plus the host arch, under a per-host cache dir.  Binaries
-    are never committed (they'd be unauditable and -march=native makes a
-    foreign blob a SIGILL risk); a fresh clone always builds from source."""
+    C++ source plus the host arch AND cpu capability, under a per-host
+    cache dir.  Binaries are never committed (they'd be unauditable and
+    -march=native makes a foreign blob a SIGILL risk); a fresh clone always
+    builds from source."""
     with open(_SRC, "rb") as f:
         src_hash = hashlib.sha256(f.read()).hexdigest()[:12]
     base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
@@ -45,7 +61,8 @@ def _so_path():
     cache_dir = os.path.join(base, "umpr_tpu")
     os.makedirs(cache_dir, exist_ok=True)
     return os.path.join(
-        cache_dir, f"_tokenizer-{src_hash}-{platform.machine()}.so")
+        cache_dir,
+        f"_tokenizer-{src_hash}-{platform.machine()}-{_cpu_tag()}.so")
 
 
 def _load():

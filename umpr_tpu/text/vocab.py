@@ -68,9 +68,24 @@ class Word2vec:
             elif vocab_size > 0:
                 words, vecs = words[:vocab_size], vecs[:vocab_size]
 
+        # Reference-exact id assignment (word2vec.py:50-52), including its
+        # quirk: a duplicate word (or a literal '<PAD>'/'<UNK>'/'<NUM>'
+        # token in the file) overwrites its dict entry WITHOUT advancing
+        # len(word2index), silently shifting every later word's embedding
+        # row by one.  Clean GloVe releases have no duplicates; warn loudly
+        # if this file does, because training would be silently corrupted.
+        before = len(self.word2index)
         for w in words:
             self.word2index[w] = len(self.word2index)
         self.vocab.extend(words)
+        dupes = before + len(words) - len(self.word2index)
+        if dupes:
+            import logging
+            logging.getLogger().warning(
+                f"word2vec file has {dupes} duplicate/reserved words; "
+                "matching the reference, every word after the first "
+                "duplicate maps to the WRONG embedding row -- deduplicate "
+                "the file.")
 
         dim = vecs.shape[1] if len(vecs) else 0
         self.embedding = np.concatenate(
@@ -158,6 +173,7 @@ class Word2vec:
             pass
         words = []
         rows = []
+        dim = None
         with open(emb_path, encoding="utf-8") as f:
             for _ in range(skip_rows):
                 f.readline()
@@ -165,7 +181,28 @@ class Word2vec:
                 tokens = line.split()
                 if len(tokens) < 2:
                     continue
-                words.append(tokens[0])
-                rows.append(np.asarray(tokens[1:], dtype=np.float32))
+                if dim is None:
+                    # establish the vector width from the first clean line
+                    # (all-numeric tail); defer ragged lines until then
+                    try:
+                        row = np.asarray(tokens[1:], dtype=np.float32)
+                    except ValueError:
+                        continue
+                    dim = len(row)
+                    words.append(tokens[0])
+                    rows.append(row)
+                    continue
+                # multi-token words (e.g. glove.840B's '. . .') put spaces in
+                # the word: the vector is the last `dim` fields, the word is
+                # everything before (the reference crashes here, so any
+                # recovery is an upgrade)
+                if len(tokens) < dim + 1:
+                    continue
+                try:
+                    row = np.asarray(tokens[-dim:], dtype=np.float32)
+                except ValueError:
+                    continue  # unparsable line: skip rather than crash
+                words.append(" ".join(tokens[:-dim]))
+                rows.append(row)
         vecs = np.stack(rows) if rows else np.zeros((0, 0), np.float32)
         return words, vecs

@@ -46,14 +46,20 @@ def _orbax_dir(path):
 
 
 def _save_orbax(path, tree):
+    """Atomic overwrite: write next to the live copy, then swap -- a crash
+    mid-save must never destroy the only good checkpoint."""
+    import shutil
     import orbax.checkpoint as ocp
     target = _orbax_dir(path)
+    tmp = target + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     host_tree = jax.tree.map(np.asarray, tree)
     with ocp.StandardCheckpointer() as ckptr:
-        if os.path.exists(target):
-            import shutil
-            shutil.rmtree(target)  # same overwrite semantics as the npz path
-        ckptr.save(target, host_tree)
+        ckptr.save(tmp, host_tree)
+    if os.path.exists(target):
+        shutil.rmtree(target)
+    os.rename(tmp, target)
 
 
 def _restore_orbax(path, like):
@@ -91,10 +97,16 @@ def save_pytree(path, tree, backend="npz"):
     if len(set(keys)) != len(keys):
         raise ValueError("pytree has duplicate path keys; cannot checkpoint")
     arrays = {f"leaf_{i:05d}": np.asarray(x) for i, x in enumerate(leaves)}
-    np.savez(os.path.join(path, "arrays.npz"), **arrays)
-    with open(os.path.join(path, "structure.json"), "w") as f:
+    # atomic overwrite: a crash mid-save must never leave a truncated
+    # arrays.npz as the only copy of the run's best model
+    np.savez(os.path.join(path, "arrays.tmp.npz"), **arrays)
+    os.replace(os.path.join(path, "arrays.tmp.npz"),
+               os.path.join(path, "arrays.npz"))
+    with open(os.path.join(path, "structure.json.tmp"), "w") as f:
         json.dump({"version": FORMAT_VERSION, "keys": keys,
                    "fingerprint": fingerprint, "n": len(leaves)}, f)
+    os.replace(os.path.join(path, "structure.json.tmp"),
+               os.path.join(path, "structure.json"))
     _clear_other_format(path, keep="npz")
 
 
