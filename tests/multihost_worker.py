@@ -18,10 +18,16 @@ import json
 import sys
 
 
-def run_steps(n_steps=3, global_batch=16):
-    """Deterministic mini-train: returns per-step losses + a final eval."""
+def run_steps(n_steps=3, global_batch=16, shard_embedding=False):
+    """Deterministic mini-train: returns per-step losses + a final eval.
+
+    shard_embedding=True places the frozen vocab table row-sharded over the
+    mesh axis (tensor parallel) -- under multi-host that table spans
+    processes, the hardest layout this framework supports."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from tests.ref_oracle import random_batch
     from umpr_tpu.models.umpr import ModelDims, init_umpr
     from umpr_tpu.parallel import multihost
@@ -38,7 +44,16 @@ def run_steps(n_steps=3, global_batch=16):
                        rng.standard_normal((60, 16)).astype(np.float32))
     trainable, frozen = split_frozen(params)
     trainable = jax.device_put(trainable, rep)
-    frozen = jax.device_put(frozen, rep)
+    if shard_embedding:
+        emb = frozen["embedding"]
+        pad = (-emb.shape[0]) % jax.device_count()
+        if pad:
+            emb = jnp.concatenate(
+                [emb, jnp.zeros((pad, emb.shape[1]), emb.dtype)])
+        frozen = {"embedding": jax.device_put(
+            emb, NamedSharding(mesh, P("dp", None)))}
+    else:
+        frozen = jax.device_put(frozen, rep)
     tx = make_optimizer(1e-3)
     opt_state = jax.device_put(tx.init(trainable), rep)
     step = make_train_step(dims, tx, donate=False)
@@ -74,6 +89,9 @@ def main():
     assert stamp == "stamp-from-p0", stamp
     multihost.barrier("worker-rendezvous")
     result = run_steps()
+    # the cross-process tensor-parallel layout: vocab rows sharded over a
+    # mesh axis that spans both processes
+    result["tp_losses"] = run_steps(shard_embedding=True)["losses"]
     result["process_id"] = jax.process_index()
     result["local_devices"] = jax.local_device_count()
     result["stamp"] = stamp

@@ -1,6 +1,7 @@
 """Checkpoint roundtrip (params + optimizer state), loader shuffling /
 dead-sample padding, and photo-cache behavior."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -179,3 +180,39 @@ def test_orbax_backend_rejects_renamed_tree(tmp_path):
     renamed = {"a": np.ones((2, 2), np.float32), "c": np.zeros(3, np.float32)}
     with pytest.raises(Exception):
         ckpt.restore_pytree(root, renamed)
+
+
+def test_interrupted_save_preserves_previous_checkpoint(tmp_path, monkeypatch):
+    """A crash mid-save (preemption/OOM-kill) must never destroy the only
+    good checkpoint: saves write to a temp name and os.replace into place."""
+    import pytest
+    root = str(tmp_path / "run")
+    tree_v1 = {"w": np.full((4, 4), 1.0, np.float32)}
+    tree_v2 = {"w": np.full((4, 4), 2.0, np.float32)}
+    ckpt.save_pytree(root, tree_v1)
+
+    real_savez = np.savez
+
+    def exploding_savez(path, **arrays):
+        real_savez(path, **arrays)  # tmp file fully written...
+        raise RuntimeError("preempted")  # ...but we die before the swap
+
+    monkeypatch.setattr(np, "savez", exploding_savez)
+    with pytest.raises(RuntimeError):
+        ckpt.save_pytree(root, tree_v2)
+    monkeypatch.setattr(np, "savez", real_savez)
+
+    restored = ckpt.restore_pytree(root, {"w": np.zeros((4, 4), np.float32)})
+    np.testing.assert_array_equal(restored["w"], tree_v1["w"])  # v1 intact
+
+    # orbax: kill after the tmp dir is written but before the swap
+    ckpt.save_pytree(root, tree_v1, backend="orbax")
+    import umpr_tpu.train.checkpoint as ckpt_mod
+    real_rename = os.rename
+    monkeypatch.setattr(ckpt_mod.os, "rename",
+                        lambda *a: (_ for _ in ()).throw(RuntimeError("preempted")))
+    with pytest.raises(RuntimeError):
+        ckpt.save_pytree(root, tree_v2, backend="orbax")
+    monkeypatch.setattr(ckpt_mod.os, "rename", real_rename)
+    restored = ckpt.restore_pytree(root, {"w": np.zeros((4, 4), np.float32)})
+    np.testing.assert_array_equal(restored["w"], tree_v1["w"])

@@ -67,6 +67,12 @@ def test_two_process_training_matches_single_process(tmp_path):
                                rtol=2e-5, atol=1e-6)
     assert results[0]["eval_n"] == single["eval_n"]
 
+    # tensor-parallel vocab sharding ACROSS processes matches too
+    np.testing.assert_allclose(results[0]["tp_losses"], single["losses"],
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_array_equal(results[0]["tp_losses"],
+                                  results[1]["tp_losses"])
+
 
 def test_local_rows_partition():
     """Single-process degenerate case: the full slice."""

@@ -46,20 +46,38 @@ def _orbax_dir(path):
 
 
 def _save_orbax(path, tree):
-    """Atomic overwrite: write next to the live copy, then swap -- a crash
-    mid-save must never destroy the only good checkpoint."""
+    """Atomic overwrite: write next to the live copy, then swap via an
+    .old hold -- at every instant either the live dir or the .old dir holds
+    a complete checkpoint, so a crash at any point loses nothing (the
+    restore side falls back to .old when the live dir is missing)."""
     import shutil
     import orbax.checkpoint as ocp
     target = _orbax_dir(path)
-    tmp = target + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    tmp, old = target + ".tmp", target + ".old"
+    for stale in (tmp,):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     host_tree = jax.tree.map(np.asarray, tree)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(tmp, host_tree)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(target):
-        shutil.rmtree(target)
+        os.rename(target, old)
     os.rename(tmp, target)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def _orbax_restore_dir(path):
+    """The live orbax dir, or the .old hold if a crash interrupted the
+    swap between the two renames."""
+    target = _orbax_dir(path)
+    if os.path.exists(target):
+        return target
+    if os.path.exists(target + ".old"):
+        return target + ".old"
+    return None
 
 
 def _restore_orbax(path, like):
@@ -67,7 +85,7 @@ def _restore_orbax(path, like):
     host_like = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), like)
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(_orbax_dir(path), host_like)
+        restored = ckptr.restore(_orbax_restore_dir(path), host_like)
     return jax.tree.map(jax.numpy.asarray, restored)
 
 
@@ -76,9 +94,12 @@ def _clear_other_format(path, keep):
     other backend would win (or confuse) the restore auto-detection.
     Called AFTER the new format is fully written, so a crashed save never
     deletes the only good checkpoint."""
-    if keep != "orbax" and os.path.exists(_orbax_dir(path)):
+    if keep != "orbax":
         import shutil
-        shutil.rmtree(_orbax_dir(path))
+        for d in (_orbax_dir(path), _orbax_dir(path) + ".old",
+                  _orbax_dir(path) + ".tmp"):
+            if os.path.exists(d):
+                shutil.rmtree(d)
     if keep != "npz":
         for name in ("structure.json", "arrays.npz"):
             p = os.path.join(path, name)
@@ -134,7 +155,7 @@ def restore_pytree(path, like):
     auto-detected, so any consumer can read any producer's checkpoints.
     """
     if (not os.path.exists(os.path.join(path, "structure.json"))
-            and os.path.exists(_orbax_dir(path))):
+            and _orbax_restore_dir(path) is not None):
         return _restore_orbax(path, like)
     keys, leaves, like_fingerprint = _flatten_with_keys(like)
     with open(os.path.join(path, "structure.json")) as f:
