@@ -63,3 +63,48 @@ def test_jit_and_batch_padding():
     for a, b in zip(out, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_tiled_forward_matches_composite():
+    """Column-tiled (flash-style) kernel == composite at a P that spans
+    multiple column tiles (P0=1100 -> two tiles of 896)."""
+    from umpr_tpu.ops.attention import affinity_attention
+    from umpr_tpu.ops.attention_pallas import affinity_attention_tiled
+    rng = np.random.default_rng(7)
+    B, P, D = 3, 1100, 128
+    gu = jnp.asarray(rng.standard_normal((B, P, D)), jnp.float32)
+    gi = jnp.asarray(rng.standard_normal((B, P, D)), jnp.float32)
+    M = jnp.asarray(rng.standard_normal((D, D)) * 0.1, jnp.float32)
+    e = jnp.asarray((np.arange(P) < 1000).astype(np.float32))
+
+    ref = affinity_attention(gu, gi, M, e, use_pallas=False)
+    out = affinity_attention_tiled(gu, gi, M, e)
+    for r, o, name in zip(ref, out, ("su", "si", "au", "ai")):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5, err_msg=name)
+
+
+def test_tiled_gradients_match_composite():
+    from umpr_tpu.ops.attention import affinity_attention
+    from umpr_tpu.ops.attention_pallas import affinity_attention_tiled
+    rng = np.random.default_rng(8)
+    B, P, D = 2, 1100, 128
+    gu = jnp.asarray(rng.standard_normal((B, P, D)), jnp.float32)
+    gi = jnp.asarray(rng.standard_normal((B, P, D)), jnp.float32)
+    M = jnp.asarray(rng.standard_normal((D, D)) * 0.1, jnp.float32)
+    e = jnp.asarray((np.arange(P) < 990).astype(np.float32))
+
+    def loss(fn, gu_, gi_, M_):
+        su, si, au, ai = fn(gu_, gi_, M_, e)
+        return (jnp.sum(au ** 2) + jnp.sum(ai ** 2)
+                + jnp.sum(su * jnp.arange(su.shape[-1]))
+                + jnp.sum(si ** 2))
+
+    g_ref = jax.grad(lambda *a: loss(
+        lambda *b: affinity_attention(*b, use_pallas=False), *a),
+        argnums=(0, 1, 2))(gu, gi, M)
+    g_tile = jax.grad(lambda *a: loss(affinity_attention_tiled, *a),
+                      argnums=(0, 1, 2))(gu, gi, M)
+    for a, b, name in zip(g_tile, g_ref, ("dgu", "dgi", "dM")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)

@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--B", type=int, default=64)
     ap.add_argument("--P", type=int, default=400)
     ap.add_argument("--dtypes", default="f32,bf16")
+    ap.add_argument("--impls", default="",
+                    help="comma list of attn impls: pallas,xla,tiled")
     ap.add_argument("--L", type=int, default=20)
     ap.add_argument("--E", type=int, default=50)
     ap.add_argument("--H", type=int, default=64)
@@ -88,13 +90,21 @@ def main():
         M = jnp.asarray(rng.standard_normal((D, D)), jnp.float32)
         e = jnp.asarray((np.arange(P) < int(P * 0.9)).astype(np.float32))
 
+        from umpr_tpu.ops.attention_pallas import affinity_attention_tiled
+        impls = {
+            "pallas": lambda *a: affinity_attention(*a, use_pallas=True),
+            "xla   ": lambda *a: affinity_attention(*a, use_pallas=False),
+            "tiled ": affinity_attention_tiled,
+        }
+        which_impls = (args.impls.split(",") if args.impls
+                       else ["pallas", "xla   "])
         dts = {"f32": (jnp.float32, "f32 "), "bf16": (jnp.bfloat16, "bf16")}
         for dt, name in (dts[k] for k in args.dtypes.split(",")):
-            for pallas in (True, False):
-                label = "pallas" if pallas else "xla   "
+            for label in which_impls:
+                impl = impls[label.ljust(6)]
                 def loss(gu_, gi_, M_):
-                    su, si, au, ai = affinity_attention(
-                        gu_.astype(dt), gi_.astype(dt), M_.astype(dt), e, pallas)
+                    su, si, au, ai = impl(
+                        gu_.astype(dt), gi_.astype(dt), M_.astype(dt), e)
                     return (jnp.sum(au.astype(jnp.float32) ** 2)
                             + jnp.sum(ai.astype(jnp.float32) ** 2)
                             + jnp.sum(su.astype(jnp.float32))

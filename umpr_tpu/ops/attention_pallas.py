@@ -10,8 +10,11 @@ per-sample grid serialization and full-(P, P) VPU passes for the argmax
 residuals.  Production paths therefore use the composite
 (umpr_tpu/ops/attention.py) for BOTH training and eval; the kernel remains
 available via affinity_attention(..., use_pallas=True) as a tested
-alternative and as the starting point for a flash-style P-tiled variant if
-a future config ever pushes P*P activations beyond HBM comfort.
+alternative.  For configs whose P*P activations outgrow HBM comfort (the
+composite writes B*P*P*4 bytes -- 4.3 GB at B=64/P=4096), the flash-style
+column-tiled variant at the bottom of this file (affinity_attention_tiled)
+streams the affinity matrix in (P, TQ) tiles with an online softmax and
+supports arbitrary P.
 
 The composite XLA path materializes the (B, P, P) affinity tensor in HBM
 (41 MB per direction at the Music-small config).  Here each sample's P x P
@@ -268,3 +271,242 @@ def _vjp_bwd(res, grads):
 
 
 affinity_attention_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# --------------------------------------------------------------------------
+# Column-tiled (flash-style) forward for LARGE P.
+#
+# The composite path materializes (B, P, P) in HBM -- 4.3 GB at B=64/P=4096
+# -- and the small kernel above caps at max_kernel_p() because it holds the
+# whole P x P tile in VMEM.  This variant streams column tiles of the
+# affinity matrix: per (sample, tile) it computes A[:, q0:q0+TQ] once,
+# finalizes that tile's column maxima (the u-half scores are complete per
+# column), folds them into an online softmax (running max/normalizer with
+# rescaled attention accumulator, the flash-attention recurrence), and
+# accumulates the i-half's running row max/argmax in VMEM scratch.  Nothing
+# (P, P)-shaped ever exists; VMEM holds T/I (P, D) plus one (P, TQ) tile.
+#
+# The backward is IDENTICAL to the small kernel's: argmax routing needs only
+# the per-position max values and first-argmax indices, which this forward
+# emits exactly (within-tile argmin of the row iota; across tiles the
+# strictly-greater update keeps the earliest tile, preserving global
+# first-argmax semantics).  soft_u is emitted as raw exp(score - m_tile)
+# per tile plus (m_tile, m_final, l_final) and rescaled outside the kernel
+# with one (B, P) elementwise fixup.
+
+def _tile_q(P):
+    """Column-tile width: budget ~4 MB for the (P, TQ) f32 tile."""
+    return max(128, min(P, (1 << 22) // (P * 4) // 128 * 128))
+
+
+def _tiled_dims(P0):
+    """(padded P, TQ) such that P is a TQ multiple and the (P, TQ) tile
+    fits the VMEM budget; iterate because padding P can shrink TQ."""
+    P = -(-P0 // 128) * 128
+    TQ = _tile_q(P)
+    for _ in range(4):
+        TQ = _tile_q(P)
+        P_new = -(-P0 // TQ) * TQ
+        if P_new == P:
+            break
+        P = P_new
+    return P, TQ
+
+
+def _tiled_kernel(t_ref, u_ref, i_ref, erow_ref, ecol_ref,
+                  su_ref, si_ref, au_ref, ai_ref, cmu_ref, cmi_ref,
+                  amu_ref, ami_ref, mused_ref, mfin_ref, lfin_ref,
+                  m_scr, l_scr, acc_scr, rmax_scr, ramax_scr, *, TQ, nq):
+    q = pl.program_id(1)
+
+    @pl.when(q == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        rmax_scr[:] = jnp.full_like(rmax_scr, NEG_INF)
+        ramax_scr[:] = jnp.full_like(ramax_scr, 1 << 30)
+
+    T = t_ref[0]                  # (P, D)
+    U_t = u_ref[0]                # (TQ, D) current column tile
+    e_row = erow_ref[:]           # (P, 1)
+    e_col_t = ecol_ref[0]         # (1, TQ)
+    A = jnp.tanh(jax.lax.dot_general(T, U_t, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32))
+
+    # ---- u-half: per-column max over rows is FINAL within this tile
+    A_mr = jnp.where(e_row > 0, A, NEG_INF)
+    colmax = jnp.max(A_mr, axis=0, keepdims=True)                # (1, TQ)
+    rows = jax.lax.broadcasted_iota(jnp.int32, A.shape, 0)
+    am_u = jnp.min(jnp.where(A_mr == colmax, rows, jnp.int32(1 << 30)),
+                   axis=0, keepdims=True)
+    cmu_ref[0] = colmax
+    amu_ref[0] = am_u
+
+    # online softmax over column tiles (flash recurrence)
+    s = jnp.where(e_col_t > 0, colmax, NEG_INF)
+    m_prev = m_scr[:]                                            # (1, 1)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    corr = jnp.exp(m_prev - m_new)
+    p_t = jnp.exp(s - m_new) * e_col_t                           # (1, TQ)
+    su_ref[0] = p_t                    # raw; rescaled outside the kernel
+    # m used for this tile, broadcast per column (keeps the output block
+    # lane-shaped; the su fixup outside is then pure elementwise)
+    mused_ref[0] = jnp.broadcast_to(m_new, (1, p_t.shape[1]))
+    l_scr[:] = l_scr[:] * corr + jnp.sum(p_t, axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * corr + jnp.dot(
+        p_t, U_t, preferred_element_type=jnp.float32)            # (1, D)
+    m_scr[:] = m_new
+
+    # ---- i-half: running row max/first-argmax across tiles
+    A_mc = jnp.where(e_col_t > 0, A, NEG_INF)
+    rt = jnp.max(A_mc, axis=1, keepdims=True)                    # (P, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, A.shape, 1) + q * TQ
+    at = jnp.min(jnp.where(A_mc == rt, cols, jnp.int32(1 << 30)),
+                 axis=1, keepdims=True)
+    upd = rt > rmax_scr[:]             # strictly greater: ties keep the
+    ramax_scr[:] = jnp.where(upd, at, ramax_scr[:])  # earliest tile/col
+    rmax_scr[:] = jnp.maximum(rmax_scr[:], rt)
+
+    @pl.when(q == nq - 1)
+    def _():
+        rmax = rmax_scr[:]
+        soft_i = _masked_softmax_col(rmax, e_row)                # (P, 1)
+        si_ref[0] = soft_i
+        cmi_ref[0] = rmax
+        ami_ref[0] = ramax_scr[:]
+        ai_ref[0] = jax.lax.dot_general(
+            soft_i, i_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (1, D)
+        au_ref[0] = acc_scr[:] / l_scr[:]
+        mfin_ref[0] = m_scr[:]
+        lfin_ref[0] = l_scr[:]
+
+
+def _tiled_forward(T, U, I, e, B, P, D, TQ):
+    nq = P // TQ
+    big = pl.BlockSpec((1, P, D), lambda b, q: (b, 0, 0), memory_space=pltpu.VMEM)
+    u_tile = pl.BlockSpec((1, TQ, D), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM)
+    row_e = pl.BlockSpec(memory_space=pltpu.VMEM)
+    col_e = pl.BlockSpec((1, 1, TQ), lambda b, q: (0, 0, q), memory_space=pltpu.VMEM)
+    tile_p = pl.BlockSpec((1, 1, TQ), lambda b, q: (b, 0, q), memory_space=pltpu.VMEM)
+    col_p = pl.BlockSpec((1, P, 1), lambda b, q: (b, 0, 0), memory_space=pltpu.VMEM)
+    vec_d = pl.BlockSpec((1, 1, D), lambda b, q: (b, 0, 0), memory_space=pltpu.VMEM)
+    one_b = pl.BlockSpec((1, 1, 1), lambda b, q: (b, 0, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_tiled_kernel, TQ=TQ, nq=nq)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nq),
+        in_specs=[big, u_tile, big, row_e,
+                  pl.BlockSpec((1, 1, TQ), lambda b, q: (0, 0, q),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[tile_p, col_p, vec_d, vec_d, tile_p, col_p, tile_p, col_p,
+                   tile_p, one_b, one_b],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, P), jnp.float32),   # su (raw)
+            jax.ShapeDtypeStruct((B, P, 1), jnp.float32),   # si
+            jax.ShapeDtypeStruct((B, 1, D), jnp.float32),   # au
+            jax.ShapeDtypeStruct((B, 1, D), jnp.float32),   # ai
+            jax.ShapeDtypeStruct((B, 1, P), jnp.float32),   # cmu
+            jax.ShapeDtypeStruct((B, P, 1), jnp.float32),   # cmi
+            jax.ShapeDtypeStruct((B, 1, P), jnp.int32),     # amu
+            jax.ShapeDtypeStruct((B, P, 1), jnp.int32),     # ami
+            jax.ShapeDtypeStruct((B, 1, P), jnp.float32),   # m used, per col
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),   # m_final
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),   # l_final
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, 1), jnp.float32),   # m
+            pltpu.VMEM((1, 1), jnp.float32),   # l
+            pltpu.VMEM((1, D), jnp.float32),   # acc
+            pltpu.VMEM((P, 1), jnp.float32),   # row max
+            pltpu.VMEM((P, 1), jnp.int32),     # row argmax
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * P * P * D, bytes_accessed=4 * B * P * D * 3,
+            transcendentals=B * P * P),
+        interpret=_interpret(),
+    )(T, U, I, e.reshape(P, 1), e.reshape(1, 1, P))
+
+
+def _tiled_fwd_impl(gru_u, gru_i, M, exists):
+    B0, P0, D = gru_u.shape
+    dtype = gru_u.dtype
+    P, TQ = _tiled_dims(P0)
+    U = _pad(gru_u.astype(jnp.float32), P, 1)
+    Ifull = _pad(gru_i.astype(jnp.float32), P, 1)
+    Mf = M.astype(jnp.float32)
+    T = (Ifull.reshape(B0 * P, D) @ Mf).reshape(B0, P, D)
+    e = _pad(exists.astype(jnp.float32), P, 0)
+    (su_raw, si, au, ai, cmu, cmi, amu, ami,
+     m_used, m_fin, l_fin) = _tiled_forward(T, U, Ifull, e, B0, P, D, TQ)
+    # rescale the per-tile raw weights into the final softmax:
+    # su = raw * exp(m_tile - m_final) / l_final  (m_used is per column)
+    su = su_raw * (jnp.exp(m_used - m_fin) / l_fin)              # (B, 1, P)
+    out = (su[:, 0, :P0].astype(dtype), si[:B0, :P0, 0].astype(dtype),
+           au[:, 0].astype(dtype), ai[:, 0].astype(dtype))
+    return out, (gru_u, gru_i, M, exists, su, si, cmu, cmi, amu, ami)
+
+
+@jax.custom_vjp
+def affinity_attention_tiled(gru_u, gru_i, M, exists):
+    out, _ = _tiled_fwd_impl(gru_u, gru_i, M, exists)
+    return out
+
+
+def _tiled_vjp_fwd(gru_u, gru_i, M, exists):
+    return _tiled_fwd_impl(gru_u, gru_i, M, exists)
+
+
+def _tiled_vjp_bwd(res, grads):
+    """Same argmax-routed backward as the small kernel -- the residual
+    contract (final softmax weights, per-position max values, first-argmax
+    indices) is identical; only the P padding granularity differs."""
+    gru_u, gru_i, M, exists, su, si, cmu, cmi, amu, ami = res
+    B0, P0, D = gru_u.shape
+    P = su.shape[-1]
+    dsu0, dsi0, dau0, dai0 = grads
+    U = _pad(gru_u.astype(jnp.float32), P, 1)
+    Ifull = _pad(gru_i.astype(jnp.float32), P, 1)
+    Mf = M.astype(jnp.float32)
+    T = (Ifull.reshape(B0 * P, D) @ Mf).reshape(B0, P, D)
+
+    soft_u, soft_i = su[:, 0], si[:, :, 0]
+    colmax_u, colmax_i = cmu[:, 0], cmi[:, :, 0]
+    amax_u, amax_i = amu[:, 0], ami[:, :, 0]
+
+    z_p = jnp.zeros((B0, P), jnp.float32)
+    z_d = jnp.zeros((B0, D), jnp.float32)
+    dsu = z_p.at[:, :P0].set(dsu0.astype(jnp.float32))
+    dsi = z_p.at[:, :P0].set(dsi0.astype(jnp.float32))
+    dau = z_d.at[:].set(dau0.astype(jnp.float32))
+    dai = z_d.at[:].set(dai0.astype(jnp.float32))
+
+    dsu = dsu + jnp.einsum("bd,bpd->bp", dau, U)
+    dsi = dsi + jnp.einsum("bd,bpd->bp", dai, Ifull)
+    dU = soft_u[..., None] * dau[:, None, :]
+    dI = soft_i[..., None] * dai[:, None, :]
+
+    g_u = _softmax_vjp_b(soft_u, dsu)
+    g_i = _softmax_vjp_b(soft_i, dsi)
+    val_u = g_u * (1.0 - colmax_u * colmax_u)
+    val_i = g_i * (1.0 - colmax_i * colmax_i)
+
+    b_idx = jnp.arange(B0)[:, None]
+    # clip argmax sentinels (fully-masked rows/cols carry 1<<30; their val
+    # is zero through the masked softmax, so the routed grad is zero too)
+    amax_u = jnp.minimum(amax_u, P - 1)
+    amax_i = jnp.minimum(amax_i, P - 1)
+    dU = dU + val_u[..., None] * jnp.take_along_axis(T, amax_u[..., None], axis=1)
+    dT = jnp.zeros((B0, P, D), jnp.float32).at[b_idx, amax_u].add(
+        val_u[..., None] * U)
+    dT = dT + val_i[..., None] * jnp.take_along_axis(U, amax_i[..., None], axis=1)
+    dU = dU.at[b_idx, amax_i].add(val_i[..., None] * T)
+
+    dI = dI + jnp.einsum("bpe,fe->bpf", dT, Mf)
+    dM = jnp.einsum("bpe,bpf->ef", Ifull, dT)
+    return (dU[:, :P0].astype(gru_u.dtype), dI[:, :P0].astype(gru_i.dtype),
+            dM.astype(M.dtype), None)
+
+
+affinity_attention_tiled.defvjp(_tiled_vjp_fwd, _tiled_vjp_bwd)
