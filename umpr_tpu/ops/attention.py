@@ -29,13 +29,24 @@ def affinity_attention(gru_u, gru_i, M, exists, use_pallas=False):
     """gru_u/gru_i: (B, P, D); M: (D, D); exists: (P,) bool.
 
     Returns soft_u, soft_i (B, P) and atte_u, atte_i (B, D)."""
-    if use_pallas and gru_u.shape[-1] % 128 == 0:
+    B, P, D = gru_u.shape
+    if D % 128 == 0 and B * P * P * 4 > (4 << 30):
+        # The composite materializes the (B, P, P) affinity tensor in HBM
+        # (plus its tanh residual for the backward): beyond ~4 GB it is the
+        # wrong tool and soon cannot compile at all (B=64/P=8192 needs
+        # 17 GB and OOMs a 16 GB v5e).  The flash-style column-tiled kernel
+        # streams the tensor and supports arbitrary P; at the handover
+        # point the two are measured even (P=4096: 12.6 vs 12.8 ms fwd+bwd,
+        # BENCH_DETAILS.md), so the switch costs nothing.
+        from umpr_tpu.ops.attention_pallas import affinity_attention_tiled
+        return affinity_attention_tiled(gru_u, gru_i, M, exists)
+    if use_pallas and D % 128 == 0:
         # kernel blocks are D-wide and must be 128-lane multiples; other
         # widths (gru_size not a multiple of 64) use the composite path,
         # as do P beyond the kernel's scoped-VMEM ceiling
         from umpr_tpu.ops.attention_pallas import (affinity_attention_pallas,
                                                    max_kernel_p)
-        if -(-gru_u.shape[1] // 128) * 128 <= max_kernel_p():
+        if -(-P // 128) * 128 <= max_kernel_p():
             return affinity_attention_pallas(gru_u, gru_i, M, exists)
     A = jnp.tanh(jnp.einsum("bpe,ef,bqf->bpq", gru_i, M, gru_u))
     soft_u = masked_softmax(masked_max(A, exists[None, :, None], axis=-2),

@@ -295,8 +295,12 @@ affinity_attention_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 # with one (B, P) elementwise fixup.
 
 def _tile_q(P):
-    """Column-tile width: budget ~4 MB for the (P, TQ) f32 tile."""
-    return max(128, min(P, (1 << 22) // (P * 4) // 128 * 128))
+    """Column-tile width: Mosaic keeps ~6-8 (P, TQ) f32 stack temporaries
+    live (the tile, its maskings, the argmax reductions), and the kernel
+    raises its per-kernel VMEM limit to 100 MB (the chip has 128 MB), so
+    budget ~8 MB per tile -- small tiles serialize the grid and starve the
+    MXU (TQ=256 at P=2048 measured 3x slower than TQ=1024)."""
+    return max(128, min(P, (1 << 23) // (P * 4) // 128 * 128))
 
 
 def _tiled_dims(P0):
@@ -313,8 +317,8 @@ def _tiled_dims(P0):
     return P, TQ
 
 
-def _tiled_kernel(t_ref, u_ref, i_ref, erow_ref, ecol_ref,
-                  su_ref, si_ref, au_ref, ai_ref, cmu_ref, cmi_ref,
+def _tiled_kernel(t_ref, u_ref, erow_ref, ecol_ref,
+                  su_ref, si_ref, au_ref, cmu_ref, cmi_ref,
                   amu_ref, ami_ref, mused_ref, mfin_ref, lfin_ref,
                   m_scr, l_scr, acc_scr, rmax_scr, ramax_scr, *, TQ, nq):
     q = pl.program_id(1)
@@ -337,9 +341,9 @@ def _tiled_kernel(t_ref, u_ref, i_ref, erow_ref, ecol_ref,
     # ---- u-half: per-column max over rows is FINAL within this tile
     A_mr = jnp.where(e_row > 0, A, NEG_INF)
     colmax = jnp.max(A_mr, axis=0, keepdims=True)                # (1, TQ)
-    rows = jax.lax.broadcasted_iota(jnp.int32, A.shape, 0)
-    am_u = jnp.min(jnp.where(A_mr == colmax, rows, jnp.int32(1 << 30)),
-                   axis=0, keepdims=True)
+    # jnp.argmax = FIRST max index (the torch.max vjp routing) and needs no
+    # iota/where temporaries -- each (P, TQ) stack slot counts here
+    am_u = jnp.argmax(A_mr, axis=0, keepdims=True).astype(jnp.int32)
     cmu_ref[0] = colmax
     amu_ref[0] = am_u
 
@@ -361,9 +365,8 @@ def _tiled_kernel(t_ref, u_ref, i_ref, erow_ref, ecol_ref,
     # ---- i-half: running row max/first-argmax across tiles
     A_mc = jnp.where(e_col_t > 0, A, NEG_INF)
     rt = jnp.max(A_mc, axis=1, keepdims=True)                    # (P, 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, A.shape, 1) + q * TQ
-    at = jnp.min(jnp.where(A_mc == rt, cols, jnp.int32(1 << 30)),
-                 axis=1, keepdims=True)
+    at = (jnp.argmax(A_mc, axis=1, keepdims=True).astype(jnp.int32)
+          + q * TQ)
     upd = rt > rmax_scr[:]             # strictly greater: ties keep the
     ramax_scr[:] = jnp.where(upd, at, ramax_scr[:])  # earliest tile/col
     rmax_scr[:] = jnp.maximum(rmax_scr[:], rt)
@@ -375,15 +378,15 @@ def _tiled_kernel(t_ref, u_ref, i_ref, erow_ref, ecol_ref,
         si_ref[0] = soft_i
         cmi_ref[0] = rmax
         ami_ref[0] = ramax_scr[:]
-        ai_ref[0] = jax.lax.dot_general(
-            soft_i, i_ref[0], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # (1, D)
+        # atte_i = soft_i^T @ I happens OUTSIDE the kernel (one XLA matmul
+        # from the si output): keeping I out of the kernel removes a
+        # double-buffered (P, D) input block from the scoped-VMEM stack
         au_ref[0] = acc_scr[:] / l_scr[:]
         mfin_ref[0] = m_scr[:]
         lfin_ref[0] = l_scr[:]
 
 
-def _tiled_forward(T, U, I, e, B, P, D, TQ):
+def _tiled_forward(T, U, e, B, P, D, TQ):
     nq = P // TQ
     big = pl.BlockSpec((1, P, D), lambda b, q: (b, 0, 0), memory_space=pltpu.VMEM)
     u_tile = pl.BlockSpec((1, TQ, D), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM)
@@ -397,16 +400,15 @@ def _tiled_forward(T, U, I, e, B, P, D, TQ):
     return pl.pallas_call(
         kernel,
         grid=(B, nq),
-        in_specs=[big, u_tile, big, row_e,
+        in_specs=[big, u_tile, row_e,
                   pl.BlockSpec((1, 1, TQ), lambda b, q: (0, 0, q),
                                memory_space=pltpu.VMEM)],
-        out_specs=[tile_p, col_p, vec_d, vec_d, tile_p, col_p, tile_p, col_p,
+        out_specs=[tile_p, col_p, vec_d, tile_p, col_p, tile_p, col_p,
                    tile_p, one_b, one_b],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, P), jnp.float32),   # su (raw)
             jax.ShapeDtypeStruct((B, P, 1), jnp.float32),   # si
             jax.ShapeDtypeStruct((B, 1, D), jnp.float32),   # au
-            jax.ShapeDtypeStruct((B, 1, D), jnp.float32),   # ai
             jax.ShapeDtypeStruct((B, 1, P), jnp.float32),   # cmu
             jax.ShapeDtypeStruct((B, P, 1), jnp.float32),   # cmi
             jax.ShapeDtypeStruct((B, 1, P), jnp.int32),     # amu
@@ -425,8 +427,16 @@ def _tiled_forward(T, U, I, e, B, P, D, TQ):
         cost_estimate=pl.CostEstimate(
             flops=2 * B * P * P * D, bytes_accessed=4 * B * P * D * 3,
             transcendentals=B * P * P),
+        # Mosaic keeps ~6-8 (P, TQ) stack temporaries live (the tile, its
+        # maskings, the argmax reductions); the default 16 MB scoped-VMEM
+        # budget rejects P >= 2048 even at TQ=128 while the chip has 128 MB
+        # of VMEM -- raise the per-kernel limit instead of shrinking tiles
+        # below MXU-efficient sizes.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(T, U, I, e.reshape(P, 1), e.reshape(1, 1, P))
+    )(T, U, e.reshape(P, 1), e.reshape(1, 1, P))
 
 
 def _tiled_fwd_impl(gru_u, gru_i, M, exists):
@@ -438,8 +448,9 @@ def _tiled_fwd_impl(gru_u, gru_i, M, exists):
     Mf = M.astype(jnp.float32)
     T = (Ifull.reshape(B0 * P, D) @ Mf).reshape(B0, P, D)
     e = _pad(exists.astype(jnp.float32), P, 0)
-    (su_raw, si, au, ai, cmu, cmi, amu, ami,
-     m_used, m_fin, l_fin) = _tiled_forward(T, U, Ifull, e, B0, P, D, TQ)
+    (su_raw, si, au, cmu, cmi, amu, ami,
+     m_used, m_fin, l_fin) = _tiled_forward(T, U, e, B0, P, D, TQ)
+    ai = jnp.einsum("bp,bpd->bd", si[:, :, 0], Ifull)[:, None, :]
     # rescale the per-tile raw weights into the final softmax:
     # su = raw * exp(m_tile - m_final) / l_final  (m_used is per column)
     su = su_raw * (jnp.exp(m_used - m_fin) / l_fin)              # (B, 1, P)
