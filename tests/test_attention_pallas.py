@@ -108,3 +108,31 @@ def test_tiled_gradients_match_composite():
     for a, b, name in zip(g_tile, g_ref, ("dgu", "dgi", "dM")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_affinity_attention_routes_to_tiled_beyond_memory_budget(monkeypatch):
+    """Above the (B, P, P) byte threshold affinity_attention must hand over
+    to the tiled kernel (the composite would OOM HBM at real sizes)."""
+    from umpr_tpu.ops import attention, attention_pallas
+    called = {}
+    real = attention_pallas.affinity_attention_tiled
+
+    def spy(*a):
+        called["tiled"] = True
+        return real(*a)
+
+    monkeypatch.setattr(attention_pallas, "affinity_attention_tiled", spy)
+    monkeypatch.setattr(attention, "TILED_BYTES_THRESHOLD", 1)  # tiny budget
+    rng = np.random.default_rng(9)
+    B, P, D = 2, 200, 128
+    gu = jnp.asarray(rng.standard_normal((B, P, D)), jnp.float32)
+    gi = jnp.asarray(rng.standard_normal((B, P, D)), jnp.float32)
+    M = jnp.asarray(rng.standard_normal((D, D)) * 0.1, jnp.float32)
+    e = jnp.asarray((np.arange(P) < 150).astype(np.float32))
+    routed = attention.affinity_attention(gu, gi, M, e, use_pallas=False)
+    assert called.get("tiled")
+    monkeypatch.setattr(attention, "TILED_BYTES_THRESHOLD", 4 << 30)
+    ref = attention.affinity_attention(gu, gi, M, e, use_pallas=False)
+    for a, b in zip(routed, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)

@@ -24,13 +24,18 @@ import jax.numpy as jnp
 
 from umpr_tpu.ops.masking import masked_max, masked_softmax
 
+# Above this (B, P, P) f32 byte count the composite's HBM materialization
+# is routed to the flash-style tiled kernel (measured even at the 4 GB
+# handover, B=16/P=4096; the composite OOMs outright at B=64/P=8192).
+TILED_BYTES_THRESHOLD = 4 << 30
+
 
 def affinity_attention(gru_u, gru_i, M, exists, use_pallas=False):
     """gru_u/gru_i: (B, P, D); M: (D, D); exists: (P,) bool.
 
     Returns soft_u, soft_i (B, P) and atte_u, atte_i (B, D)."""
     B, P, D = gru_u.shape
-    if D % 128 == 0 and B * P * P * 4 > (4 << 30):
+    if D % 128 == 0 and B * P * P * 4 > TILED_BYTES_THRESHOLD:
         # The composite materializes the (B, P, P) affinity tensor in HBM
         # (plus its tanh residual for the backward): beyond ~4 GB it is the
         # wrong tool and soon cannot compile at all (B=64/P=8192 needs
