@@ -65,18 +65,21 @@ def test_jit_and_batch_padding():
                                    rtol=1e-5, atol=1e-6)
 
 
-def test_tiled_forward_matches_composite():
-    """Column-tiled (flash-style) kernel == composite at a P that spans
-    multiple column tiles (P0=1100 -> two tiles of 896)."""
-    from umpr_tpu.ops.attention import affinity_attention
-    from umpr_tpu.ops.attention_pallas import affinity_attention_tiled
-    rng = np.random.default_rng(7)
-    B, P, D = 3, 1100, 128
+def _tiled_case(seed, B, P, D=128, frac=0.9):
+    rng = np.random.default_rng(seed)
     gu = jnp.asarray(rng.standard_normal((B, P, D)), jnp.float32)
     gi = jnp.asarray(rng.standard_normal((B, P, D)), jnp.float32)
     M = jnp.asarray(rng.standard_normal((D, D)) * 0.1, jnp.float32)
-    e = jnp.asarray((np.arange(P) < 1000).astype(np.float32))
+    e = jnp.asarray((np.arange(P) < int(P * frac)).astype(np.float32))
+    return gu, gi, M, e
 
+
+def test_tiled_single_tile_matches_composite_tightly():
+    """One column tile: the online-softmax recurrence degenerates and the
+    result should match the composite to tight f32 tolerance."""
+    from umpr_tpu.ops.attention import affinity_attention
+    from umpr_tpu.ops.attention_pallas import affinity_attention_tiled
+    gu, gi, M, e = _tiled_case(7, B=3, P=1100)
     ref = affinity_attention(gu, gi, M, e, use_pallas=False)
     out = affinity_attention_tiled(gu, gi, M, e)
     for r, o, name in zip(ref, out, ("su", "si", "au", "ai")):
@@ -84,15 +87,29 @@ def test_tiled_forward_matches_composite():
                                    rtol=2e-5, atol=2e-5, err_msg=name)
 
 
-def test_tiled_gradients_match_composite():
+def test_tiled_multi_tile_matches_composite(monkeypatch):
+    """Force 3 column tiles so the flash recurrence (running max, corr
+    rescaling, cross-tile first-argmax) actually executes; au/ai tolerate
+    the online softmax's f32 reassociation (~1e-4-scale)."""
+    from umpr_tpu.ops import attention_pallas as ap
     from umpr_tpu.ops.attention import affinity_attention
-    from umpr_tpu.ops.attention_pallas import affinity_attention_tiled
-    rng = np.random.default_rng(8)
-    B, P, D = 2, 1100, 128
-    gu = jnp.asarray(rng.standard_normal((B, P, D)), jnp.float32)
-    gi = jnp.asarray(rng.standard_normal((B, P, D)), jnp.float32)
-    M = jnp.asarray(rng.standard_normal((D, D)) * 0.1, jnp.float32)
-    e = jnp.asarray((np.arange(P) < 990).astype(np.float32))
+    monkeypatch.setattr(ap, "_tile_q", lambda P: 512)
+    gu, gi, M, e = _tiled_case(7, B=3, P=1100)
+    assert ap._tiled_dims(1100) == (1536, 512)  # really multi-tile
+    ref = affinity_attention(gu, gi, M, e, use_pallas=False)
+    out = ap.affinity_attention_tiled(gu, gi, M, e)
+    tols = {"su": 2e-5, "si": 2e-5, "au": 1e-3, "ai": 1e-3}
+    for r, o, name in zip(ref, out, ("su", "si", "au", "ai")):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=tols[name], atol=tols[name],
+                                   err_msg=name)
+
+
+def test_tiled_gradients_match_composite(monkeypatch):
+    from umpr_tpu.ops import attention_pallas as ap
+    from umpr_tpu.ops.attention import affinity_attention
+    monkeypatch.setattr(ap, "_tile_q", lambda P: 512)  # multi-tile
+    gu, gi, M, e = _tiled_case(8, B=2, P=1100, frac=0.9)
 
     def loss(fn, gu_, gi_, M_):
         su, si, au, ai = fn(gu_, gi_, M_, e)
@@ -103,11 +120,11 @@ def test_tiled_gradients_match_composite():
     g_ref = jax.grad(lambda *a: loss(
         lambda *b: affinity_attention(*b, use_pallas=False), *a),
         argnums=(0, 1, 2))(gu, gi, M)
-    g_tile = jax.grad(lambda *a: loss(affinity_attention_tiled, *a),
+    g_tile = jax.grad(lambda *a: loss(ap.affinity_attention_tiled, *a),
                       argnums=(0, 1, 2))(gu, gi, M)
     for a, b, name in zip(g_tile, g_ref, ("dgu", "dgi", "dM")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-4, err_msg=name)
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
 
 
 def test_affinity_attention_routes_to_tiled_beyond_memory_budget(monkeypatch):

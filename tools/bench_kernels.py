@@ -90,10 +90,14 @@ def main():
         M = jnp.asarray(rng.standard_normal((D, D)), jnp.float32)
         e = jnp.asarray((np.arange(P) < int(P * 0.9)).astype(np.float32))
 
+        from umpr_tpu.ops.attention import affinity_attention_composite
         from umpr_tpu.ops.attention_pallas import affinity_attention_tiled
         impls = {
             "pallas": lambda *a: affinity_attention(*a, use_pallas=True),
-            "xla   ": lambda *a: affinity_attention(*a, use_pallas=False),
+            # un-routed composite: affinity_attention would auto-route to
+            # the tiled kernel above the memory threshold, making the
+            # comparison measure the same kernel twice
+            "xla   ": affinity_attention_composite,
             "tiled ": affinity_attention_tiled,
         }
         which_impls = (args.impls.split(",") if args.impls

@@ -93,9 +93,12 @@ def load_photo_batch(paths, resize=(224, 224), executor=None, cache=None):
     flat = paths.reshape(-1)
     if cache is not None:
         if executor is not None:
-            imgs = list(executor.map(lambda s: cache.get(s, resize), flat))
-        else:
-            imgs = [cache.get(s, resize) for s in flat]
+            # UMPR batches repeat each item's photos across its samples:
+            # fan out UNIQUE paths only (per-occurrence submission would
+            # race pool-width duplicate decodes of the same JPEG before
+            # the first insert lands), then assemble from cache hits.
+            list(executor.map(lambda s: cache.get(s, resize), set(flat)))
+        imgs = [cache.get(s, resize) for s in flat]
     elif executor is not None:
         imgs = list(executor.map(lambda s: get_image(s, resize), flat))
     else:

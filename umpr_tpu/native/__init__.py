@@ -38,13 +38,21 @@ def _cpu_tag():
     built on one host SIGILLs on a lesser host, and cluster nodes commonly
     share $HOME over NFS -- `platform.machine()` alone cannot tell an
     AVX-512 x86_64 from a plain one."""
+    model = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("model name", "flags")):
+                # 'flags' is the capability truth (model names on cloud VMs
+                # are generic, e.g. 'Intel Xeon Processor @ 2.10GHz');
+                # 'model name' is only the fallback
+                if line.startswith("flags"):
                     return hashlib.sha256(line.encode()).hexdigest()[:8]
+                if line.startswith("model name") and not model:
+                    model = line
     except OSError:
         pass
+    if model:
+        return hashlib.sha256(model.encode()).hexdigest()[:8]
     return "generic"
 
 

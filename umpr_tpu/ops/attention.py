@@ -35,15 +35,24 @@ def affinity_attention(gru_u, gru_i, M, exists, use_pallas=False):
 
     Returns soft_u, soft_i (B, P) and atte_u, atte_i (B, D)."""
     B, P, D = gru_u.shape
-    if D % 128 == 0 and B * P * P * 4 > TILED_BYTES_THRESHOLD:
+    if B * P * P * 4 > TILED_BYTES_THRESHOLD:
         # The composite materializes the (B, P, P) affinity tensor in HBM
         # (plus its tanh residual for the backward): beyond ~4 GB it is the
         # wrong tool and soon cannot compile at all (B=64/P=8192 needs
         # 17 GB and OOMs a 16 GB v5e).  The flash-style column-tiled kernel
         # streams the tensor and supports arbitrary P; at the handover
         # point the two are measured even (P=4096: 12.6 vs 12.8 ms fwd+bwd,
-        # BENCH_DETAILS.md), so the switch costs nothing.
+        # BENCH_DETAILS.md), so the switch costs nothing.  Non-128-lane D
+        # is zero-padded (the padded lanes contribute nothing to A or the
+        # attended outputs, which are sliced back).
         from umpr_tpu.ops.attention_pallas import affinity_attention_tiled
+        Dp = -(-D // 128) * 128
+        if Dp != D:
+            pad = ((0, 0), (0, 0), (0, Dp - D))
+            su, si, au, ai = affinity_attention_tiled(
+                jnp.pad(gru_u, pad), jnp.pad(gru_i, pad),
+                jnp.pad(M, ((0, Dp - D), (0, Dp - D))), exists)
+            return su, si, au[:, :D], ai[:, :D]
         return affinity_attention_tiled(gru_u, gru_i, M, exists)
     if use_pallas and D % 128 == 0:
         # kernel blocks are D-wide and must be 128-lane multiples; other
@@ -53,6 +62,12 @@ def affinity_attention(gru_u, gru_i, M, exists, use_pallas=False):
                                                    max_kernel_p)
         if -(-P // 128) * 128 <= max_kernel_p():
             return affinity_attention_pallas(gru_u, gru_i, M, exists)
+    return affinity_attention_composite(gru_u, gru_i, M, exists)
+
+
+def affinity_attention_composite(gru_u, gru_i, M, exists):
+    """The XLA composite body, exposed un-routed (benchmarks compare it to
+    the kernels at shapes where `affinity_attention` would auto-route)."""
     A = jnp.tanh(jnp.einsum("bpe,ef,bqf->bpq", gru_i, M, gru_u))
     soft_u = masked_softmax(masked_max(A, exists[None, :, None], axis=-2),
                             exists[None, :], axis=-1)

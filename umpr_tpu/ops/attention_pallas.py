@@ -222,18 +222,26 @@ def _vjp_fwd(gru_u, gru_i, M, exists):
     return out, res
 
 
-def _vjp_bwd(res, grads):
-    """Backward without any (P,P)-shaped work: the max gradient routes to
-    one saved argmax position per column, so each half is one gather + one
-    scatter-add over (B, P, D) tensors (plus the softmax/atte chain).
-    First-argmax routing matches torch.max's vjp; jnp.max tie-splitting
-    differs only on exact ties (measure-zero for continuous inputs)."""
-    gru_u, gru_i, M, exists, su, si, cmu, cmi, amu, ami = res
+def _argmax_routed_bwd(U, Ifull, T, M, res, grads, B, P, B0, P0):
+    """The shared backward core: no (P, P)-shaped work -- the max gradient
+    routes to one saved argmax position per lane, so each half is one
+    gather + one batched scatter-add over (B, P, D) tensors (plus the
+    softmax/atte chain).  First-argmax routing matches torch.max's vjp;
+    jnp.max tie-splitting differs only on exact ties (measure-zero for
+    continuous inputs; at saturated-tanh ties both route zero gradient).
+    Used by BOTH the whole-tile and the column-tiled kernels -- their
+    residual contract (final softmax weights, per-position max values,
+    first-argmax indices) is identical."""
+    su, si, cmu, cmi, amu, ami = res
     dsu0, dsi0, dau0, dai0 = grads
-    U, Ifull, T, e, B, P, D, B0, P0, dtype = _prep(gru_u, gru_i, M, exists)
+    D = U.shape[-1]
     soft_u, soft_i = su[:, 0], si[:, :, 0]       # (B, P); i-half is (B, P, 1)
     colmax_u, colmax_i = cmu[:, 0], cmi[:, :, 0]
     amax_u, amax_i = amu[:, 0], ami[:, :, 0]     # (B, P) int32
+    # fully-masked rows/cols carry the 1<<30 argmax sentinel; their routed
+    # value is exactly zero (masked softmax), so clip to a safe index
+    amax_u = jnp.minimum(amax_u, P - 1)
+    amax_i = jnp.minimum(amax_i, P - 1)
 
     z_p = jnp.zeros((B, P), jnp.float32)
     z_d = jnp.zeros((B, D), jnp.float32)
@@ -265,9 +273,17 @@ def _vjp_bwd(res, grads):
     # T = I @ M: fold dT into dI / dM with large XLA matmuls
     dI = dI + jnp.einsum("bpe,fe->bpf", dT, M)
     dM = jnp.einsum("bpe,bpf->ef", Ifull, dT)
-    d_gru_u = dU[:B0, :P0].astype(gru_u.dtype)
-    d_gru_i = dI[:B0, :P0].astype(gru_i.dtype)
-    return d_gru_u, d_gru_i, dM.astype(M.dtype), None
+    return dU, dI, dM
+
+
+def _vjp_bwd(res, grads):
+    gru_u, gru_i, M, exists, su, si, cmu, cmi, amu, ami = res
+    U, Ifull, T, e, B, P, D, B0, P0, dtype = _prep(gru_u, gru_i, M, exists)
+    dU, dI, dM = _argmax_routed_bwd(U, Ifull, T, M.astype(jnp.float32),
+                                    (su, si, cmu, cmi, amu, ami), grads,
+                                    B, P, B0, P0)
+    return (dU[:B0, :P0].astype(gru_u.dtype), dI[:B0, :P0].astype(gru_i.dtype),
+            dM.astype(M.dtype), None)
 
 
 affinity_attention_pallas.defvjp(_vjp_fwd, _vjp_bwd)
@@ -391,7 +407,6 @@ def _tiled_forward(T, U, e, B, P, D, TQ):
     big = pl.BlockSpec((1, P, D), lambda b, q: (b, 0, 0), memory_space=pltpu.VMEM)
     u_tile = pl.BlockSpec((1, TQ, D), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM)
     row_e = pl.BlockSpec(memory_space=pltpu.VMEM)
-    col_e = pl.BlockSpec((1, 1, TQ), lambda b, q: (0, 0, q), memory_space=pltpu.VMEM)
     tile_p = pl.BlockSpec((1, 1, TQ), lambda b, q: (b, 0, q), memory_space=pltpu.VMEM)
     col_p = pl.BlockSpec((1, P, 1), lambda b, q: (b, 0, 0), memory_space=pltpu.VMEM)
     vec_d = pl.BlockSpec((1, 1, D), lambda b, q: (b, 0, 0), memory_space=pltpu.VMEM)
@@ -470,52 +485,18 @@ def _tiled_vjp_fwd(gru_u, gru_i, M, exists):
 
 
 def _tiled_vjp_bwd(res, grads):
-    """Same argmax-routed backward as the small kernel -- the residual
-    contract (final softmax weights, per-position max values, first-argmax
-    indices) is identical; only the P padding granularity differs."""
+    """The shared argmax-routed backward; only the padding prep differs
+    from the whole-tile kernel (TQ-granular P, no B padding)."""
     gru_u, gru_i, M, exists, su, si, cmu, cmi, amu, ami = res
     B0, P0, D = gru_u.shape
     P = su.shape[-1]
-    dsu0, dsi0, dau0, dai0 = grads
     U = _pad(gru_u.astype(jnp.float32), P, 1)
     Ifull = _pad(gru_i.astype(jnp.float32), P, 1)
     Mf = M.astype(jnp.float32)
     T = (Ifull.reshape(B0 * P, D) @ Mf).reshape(B0, P, D)
-
-    soft_u, soft_i = su[:, 0], si[:, :, 0]
-    colmax_u, colmax_i = cmu[:, 0], cmi[:, :, 0]
-    amax_u, amax_i = amu[:, 0], ami[:, :, 0]
-
-    z_p = jnp.zeros((B0, P), jnp.float32)
-    z_d = jnp.zeros((B0, D), jnp.float32)
-    dsu = z_p.at[:, :P0].set(dsu0.astype(jnp.float32))
-    dsi = z_p.at[:, :P0].set(dsi0.astype(jnp.float32))
-    dau = z_d.at[:].set(dau0.astype(jnp.float32))
-    dai = z_d.at[:].set(dai0.astype(jnp.float32))
-
-    dsu = dsu + jnp.einsum("bd,bpd->bp", dau, U)
-    dsi = dsi + jnp.einsum("bd,bpd->bp", dai, Ifull)
-    dU = soft_u[..., None] * dau[:, None, :]
-    dI = soft_i[..., None] * dai[:, None, :]
-
-    g_u = _softmax_vjp_b(soft_u, dsu)
-    g_i = _softmax_vjp_b(soft_i, dsi)
-    val_u = g_u * (1.0 - colmax_u * colmax_u)
-    val_i = g_i * (1.0 - colmax_i * colmax_i)
-
-    b_idx = jnp.arange(B0)[:, None]
-    # clip argmax sentinels (fully-masked rows/cols carry 1<<30; their val
-    # is zero through the masked softmax, so the routed grad is zero too)
-    amax_u = jnp.minimum(amax_u, P - 1)
-    amax_i = jnp.minimum(amax_i, P - 1)
-    dU = dU + val_u[..., None] * jnp.take_along_axis(T, amax_u[..., None], axis=1)
-    dT = jnp.zeros((B0, P, D), jnp.float32).at[b_idx, amax_u].add(
-        val_u[..., None] * U)
-    dT = dT + val_i[..., None] * jnp.take_along_axis(U, amax_i[..., None], axis=1)
-    dU = dU.at[b_idx, amax_i].add(val_i[..., None] * T)
-
-    dI = dI + jnp.einsum("bpe,fe->bpf", dT, Mf)
-    dM = jnp.einsum("bpe,bpf->ef", Ifull, dT)
+    dU, dI, dM = _argmax_routed_bwd(U, Ifull, T, Mf,
+                                    (su, si, cmu, cmi, amu, ami), grads,
+                                    B0, P, B0, P0)
     return (dU[:, :P0].astype(gru_u.dtype), dI[:, :P0].astype(gru_i.dtype),
             dM.astype(M.dtype), None)
 

@@ -174,6 +174,23 @@ class Word2vec:
         words = []
         rows = []
         dim = None
+        deferred = []  # ragged lines seen before dim is established
+
+        def absorb(tokens, d):
+            """Multi-token words (e.g. glove.840B's '. . .') put spaces in
+            the word: the vector is the last `d` fields, the word is
+            everything before (the reference crashes here, so any recovery
+            is an upgrade).  Returns True if the line parsed."""
+            if len(tokens) < d + 1:
+                return False
+            try:
+                row = np.asarray(tokens[-d:], dtype=np.float32)
+            except ValueError:
+                return False  # unparsable line: skip rather than crash
+            words.append(" ".join(tokens[:-d]))
+            rows.append(row)
+            return True
+
         with open(emb_path, encoding="utf-8") as f:
             for _ in range(skip_rows):
                 f.readline()
@@ -183,26 +200,19 @@ class Word2vec:
                     continue
                 if dim is None:
                     # establish the vector width from the first clean line
-                    # (all-numeric tail); defer ragged lines until then
+                    # (all-numeric tail); BUFFER ragged lines until then
                     try:
                         row = np.asarray(tokens[1:], dtype=np.float32)
                     except ValueError:
+                        deferred.append(tokens)
                         continue
                     dim = len(row)
+                    for t in deferred:  # replay, keeping file order
+                        absorb(t, dim)
+                    deferred.clear()
                     words.append(tokens[0])
                     rows.append(row)
                     continue
-                # multi-token words (e.g. glove.840B's '. . .') put spaces in
-                # the word: the vector is the last `dim` fields, the word is
-                # everything before (the reference crashes here, so any
-                # recovery is an upgrade)
-                if len(tokens) < dim + 1:
-                    continue
-                try:
-                    row = np.asarray(tokens[-dim:], dtype=np.float32)
-                except ValueError:
-                    continue  # unparsable line: skip rather than crash
-                words.append(" ".join(tokens[:-dim]))
-                rows.append(row)
+                absorb(tokens, dim)
         vecs = np.stack(rows) if rows else np.zeros((0, 0), np.float32)
         return words, vecs

@@ -60,9 +60,12 @@ def _save_orbax(path, tree):
     host_tree = jax.tree.map(np.asarray, tree)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(tmp, host_tree)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    # .old is dropped only while a complete live dir exists: after a crashed
+    # swap (target missing, .old = the only good copy) the next save must
+    # keep .old until tmp is promoted, or a second crash loses everything.
     if os.path.exists(target):
+        if os.path.exists(old):
+            shutil.rmtree(old)
         os.rename(target, old)
     os.rename(tmp, target)
     if os.path.exists(old):
