@@ -216,3 +216,37 @@ def test_interrupted_save_preserves_previous_checkpoint(tmp_path, monkeypatch):
     monkeypatch.setattr(ckpt_mod.os, "rename", real_rename)
     restored = ckpt.restore_pytree(root, {"w": np.zeros((4, 4), np.float32)})
     np.testing.assert_array_equal(restored["w"], tree_v1["w"])
+
+
+def test_orbax_save_after_crashed_swap_keeps_old(tmp_path, monkeypatch):
+    """After a crash between the two swap renames (live dir missing, .old
+    holding the only copy), the NEXT save must not delete .old before its
+    tmp is promoted -- a second crash there used to lose every checkpoint."""
+    import pytest
+    import umpr_tpu.train.checkpoint as ckpt_mod
+    root = str(tmp_path / "run")
+    v1 = {"w": np.full((4, 4), 1.0, np.float32)}
+    v2 = {"w": np.full((4, 4), 2.0, np.float32)}
+    ckpt.save_pytree(root, v1, backend="orbax")
+
+    # simulate the crashed swap: live -> .old, live gone
+    target = ckpt_mod._orbax_dir(root)
+    os.rename(target, target + ".old")
+    like = {"w": np.zeros((4, 4), np.float32)}
+    np.testing.assert_array_equal(  # .old fallback works
+        ckpt.restore_pytree(root, like)["w"], v1["w"])
+
+    # next save crashes again at the final promote
+    real_rename = os.rename
+    def exploding_rename(src, dst):
+        if dst == target:
+            raise RuntimeError("preempted")
+        return real_rename(src, dst)
+    monkeypatch.setattr(ckpt_mod.os, "rename", exploding_rename)
+    with pytest.raises(RuntimeError):
+        ckpt.save_pytree(root, v2, backend="orbax")
+    monkeypatch.setattr(ckpt_mod.os, "rename", real_rename)
+
+    # v1 must still be restorable from .old
+    np.testing.assert_array_equal(
+        ckpt.restore_pytree(root, like)["w"], v1["w"])
