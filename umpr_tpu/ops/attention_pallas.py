@@ -314,9 +314,9 @@ def _tile_q(P):
     """Column-tile width: Mosaic keeps ~6-8 (P, TQ) f32 stack temporaries
     live (the tile, its maskings, the argmax reductions), and the kernel
     raises its per-kernel VMEM limit to 100 MB (the chip has 128 MB), so
-    budget ~8 MB per tile -- small tiles serialize the grid and starve the
+    budget ~16 MB per tile -- small tiles serialize the grid and starve the
     MXU (TQ=256 at P=2048 measured 3x slower than TQ=1024)."""
-    return max(128, min(P, (1 << 23) // (P * 4) // 128 * 128))
+    return max(128, min(P, (1 << 24) // (P * 4) // 128 * 128))
 
 
 def _tiled_dims(P0):
