@@ -250,3 +250,19 @@ def test_orbax_save_after_crashed_swap_keeps_old(tmp_path, monkeypatch):
     # v1 must still be restorable from .old
     np.testing.assert_array_equal(
         ckpt.restore_pytree(root, like)["w"], v1["w"])
+
+
+def test_npz_roundtrips_bf16_opt_state(tmp_path):
+    """bfloat16 Adam moments survive the npz backend bit-exactly (numpy
+    would otherwise degrade them to raw void bytes)."""
+    import jax.numpy as jnp
+    from umpr_tpu.train import checkpoint as ckpt
+    tree = {"mu": jnp.asarray([1.5, -2.25, 3.0], jnp.bfloat16),
+            "w": jnp.asarray([0.5, 0.25], jnp.float32)}
+    ckpt.save_pytree(str(tmp_path / "c"), tree)
+    like = {"mu": jnp.zeros(3, jnp.bfloat16), "w": jnp.zeros(2, jnp.float32)}
+    out = ckpt.restore_pytree(str(tmp_path / "c"), like)
+    assert out["mu"].dtype == jnp.bfloat16
+    assert out["w"].dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(out["mu"], np.float32),
+                                  np.asarray(tree["mu"], np.float32))

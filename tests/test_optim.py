@@ -145,3 +145,44 @@ def test_gradient_parity_full_umpr():
         # on near-zero elements
         np.testing.assert_allclose(np.asarray(ours), theirs.detach().numpy(),
                                    rtol=2e-3, atol=5e-5, err_msg=f"pair {i}")
+
+
+def test_adam_bf16_moments_tracks_f32():
+    """--adam_moment_dtype bfloat16: same trajectory as f32 Adam to bf16
+    rounding tolerance, and bit-exact resume from its own stored state."""
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((16, 8)).astype(np.float32)
+    params = {"layer": {"kernel": jnp.asarray(w)}}
+    lr = 1e-2
+
+    tx32 = make_optimizer(1e-3)
+    tx16 = make_optimizer(1e-3, "bfloat16")
+    s32, s16 = tx32.init(params), tx16.init(params)
+    p32 = p16 = params
+
+    grads_seq = [rng.standard_normal(w.shape).astype(np.float32)
+                 for _ in range(5)]
+    for g in grads_seq:
+        gr32 = {"layer": {"kernel": jnp.asarray(g)}}
+        u32, s32 = tx32.update(gr32, s32, p32)
+        p32 = jax.tree.map(lambda p, u: p - lr * u, p32, u32)
+        u16, s16 = tx16.update(gr32, s16, p16)
+        p16 = jax.tree.map(lambda p, u: p - lr * u, p16, u16)
+
+    np.testing.assert_allclose(np.asarray(p16["layer"]["kernel"]),
+                               np.asarray(p32["layer"]["kernel"]),
+                               rtol=0, atol=2e-2)
+    assert s16[1].mu["layer"]["kernel"].dtype == jnp.bfloat16
+    assert s16[1].nu["layer"]["kernel"].dtype == jnp.bfloat16
+
+    # resume-exactness: replaying step 6 from the stored (rounded) state in a
+    # fresh transform gives bit-identical params to continuing in-process
+    g6 = {"layer": {"kernel": jnp.asarray(
+        rng.standard_normal(w.shape).astype(np.float32))}}
+    u_cont, _ = tx16.update(g6, s16, p16)
+    p_cont = jax.tree.map(lambda p, u: p - lr * u, p16, u_cont)
+    tx_new = make_optimizer(1e-3, "bfloat16")
+    u_res, _ = tx_new.update(g6, jax.tree.map(lambda x: x, s16), p16)
+    p_res = jax.tree.map(lambda p, u: p - lr * u, p16, u_res)
+    np.testing.assert_array_equal(np.asarray(p_cont["layer"]["kernel"]),
+                                  np.asarray(p_res["layer"]["kernel"]))

@@ -83,6 +83,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--donate", action="store_true",
                     help="donate params/opt state (the real trainer does)")
+    ap.add_argument("--moment_dtype", default="float32",
+                    help="Adam m/v storage dtype (float32 | bfloat16)")
+    ap.add_argument("--no_fold", action="store_true",
+                    help="disable the width-folded VGG block 1")
     ap.add_argument("--only", default="", help="comma list: step,vgg,text")
     args = ap.parse_args()
 
@@ -102,7 +106,8 @@ def main():
     only = set(args.only.split(",")) if args.only else None
 
     dims = ModelDims(review_net_only=False, view_size=1, use_pallas=on_tpu,
-                     photo_size=IMG, compute_dtype=args.dtype)
+                     photo_size=IMG, compute_dtype=args.dtype,
+                     vgg_fold_w=not args.no_fold)
     rng = np.random.default_rng(0)
     # Music-small text shapes (S=20, L=20, S_ui=5), real photo size.
     batch = _tiny_batch(rng, B=B, S=20, L=20, S_ui=5, V=1, P=1, img=IMG)
@@ -110,7 +115,7 @@ def main():
     params = init_umpr(jax.random.PRNGKey(0), dims,
                        rng.standard_normal((5000, 50)).astype(np.float32))
     trainable, frozen = split_frozen(params)
-    tx = make_optimizer(1e-3)
+    tx = make_optimizer(1e-3, args.moment_dtype)
     opt_state = tx.init(trainable)
     key = jax.random.PRNGKey(0)
 

@@ -85,6 +85,11 @@ class Config:
     photo_size = 224  # photo edge length fed to the visual net (reference
                       # hard-codes 224 at dataset.py:137); must be a multiple
                       # of 32 (VGG16's five 2x2 pools).
+    vgg_fold_w = True  # width-folded VGG block 1 (identical math; fills the
+                       # 128-lane TPU tiles that block 1's C=64 half-wastes).
+    adam_moment_dtype = "float32"  # 'bfloat16' stores Adam m/v rounded (f32
+                                   # math): halves optimizer HBM traffic over
+                                   # VGG16's 138M params; resume-exact.
     profile_dir = ""  # if set, write a jax.profiler trace of a few steps here.
     cache_dataset = True  # cache the packed dataset arrays next to the CSVs (reference: main.py:66-73).
     checkpoint_backend = "npz"  # 'npz' (path-keyed arrays, no deps) | 'orbax'
@@ -116,6 +121,7 @@ class Config:
             '"review_level" must be equal to "sentence" or "review"!'
         )
         assert self.compute_dtype in ("float32", "bfloat16")
+        assert self.adam_moment_dtype in ("float32", "bfloat16")
         assert self.checkpoint_backend in ("npz", "orbax")
         assert self.photo_size % 32 == 0 and self.photo_size > 0, (
             '"photo_size" must be a positive multiple of 32!')

@@ -47,6 +47,8 @@ class ModelDims:
                            # depends on it; must be a multiple of 32)
     compute_dtype: str = "float32"  # 'bfloat16' halves MXU time + HBM traffic;
                                     # params stay f32 (mixed precision)
+    vgg_fold_w: bool = True  # width-folded VGG block 1 (identical math;
+                             # fills the 128-lane tiles that C=64 half-wastes)
 
     @classmethod
     def from_config(cls, config, use_pallas=None):
@@ -62,6 +64,7 @@ class ModelDims:
             review_net_only=config.review_net_only,
             use_pallas=config.use_pallas if use_pallas is None else use_pallas,
             photo_size=getattr(config, "photo_size", 224),
+            vgg_fold_w=getattr(config, "vgg_fold_w", True),
         )
 
 
@@ -140,7 +143,8 @@ def umpr_forward(params, batch, dims: ModelDims, train=False, dropout_rng=None):
         params["control_net"], u_emb, i_emb, ui_emb, u_len, i_len, ui_len,
         exists, ui_exists, dims.threshold, dims.use_pallas)
     pos_match, neg_match, final_pos, final_neg = visual_net(
-        params["visual_net"], batch["photos"], c_u, c_i, train, dropout_rng)
+        params["visual_net"], batch["photos"], c_u, c_i, train, dropout_rng,
+        fold_w=dims.vgg_fold_w)
 
     fused = jnp.concatenate([rn, final_pos, final_neg], axis=-1)
     prediction = jax.nn.relu(linear(params["linear_fusion"], fused))[:, 0]

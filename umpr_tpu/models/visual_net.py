@@ -60,6 +60,30 @@ def init_vgg16(key, num_classes=VGG_OUT, img_size=224):
     return params
 
 
+@jax.custom_vjp
+def _bias_relu(x, b):
+    return jax.nn.relu(x + b)
+
+
+def _bias_relu_fwd(x, b):
+    y = jax.nn.relu(x + b)
+    return y, y  # residual = output only
+
+
+def _bias_relu_bwd(y, g):
+    gx = jnp.where(y > 0, g, jnp.zeros_like(g))
+    db = jnp.sum(gx, axis=tuple(range(gx.ndim - 1)), dtype=jnp.float32)
+    return gx, db.astype(g.dtype)
+
+
+# The ReLU mask is recomputed from the OUTPUT (y > 0 == x + b > 0, and both
+# give zero gradient at exactly 0), so autodiff keeps only y -- which the
+# next conv stores for its dW anyway -- instead of y AND the pre-activation:
+# at B=64/224px that is ~1.7 GB of bf16 conv activations per step that no
+# longer round-trip HBM.
+_bias_relu.defvjp(_bias_relu_fwd, _bias_relu_bwd)
+
+
 def _maxpool2x2(x):
     # reduce_window + SelectAndScatter backward measured FASTER on v5e than
     # the reshape/reduce_max formulation (57.1 vs 61.1 ms VGG16 fwd+bwd at
@@ -70,24 +94,105 @@ def _maxpool2x2(x):
         window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1), padding="VALID")
 
 
-def vgg16(params, images, train=False, dropout_rng=None):
+# ---------------------------------------------------------------------------
+# Width-folded block 1.
+#
+# TPU tiles put the minor (channel) dimension in 128-wide lanes; block-1
+# tensors (C=64 at 224^2 -- the largest activations in the network) therefore
+# waste HALF of every HBM tile and half the MXU lanes.  Profiling the B=64
+# bf16 train step attributes ~20 ms of a 61 ms step to block-1 ops alone at
+# ~15-20% efficiency.  Folding width pairs into channels ([B,H,W,C] ->
+# [B,H,W/2,2C], a pure row-major reshape) makes block-1 tensors exactly
+# 128-wide: full tiles, full lanes, half the HBM traffic.  The stride-1 SAME
+# convs are computed on the folded layout with zero-embedded kernels
+# ([3,3,C,C'] -> [3,3,2C,2C']): identical math (the embedded zeros contribute
+# exact zeros), 2x nominal MACs at 2x lane utilization, so MXU time is
+# unchanged while every read/write halves.  The 2x2 pool consumes the fold:
+# an H-stride-2 window max plus a max over the two width phases, leaving the
+# output naturally unfolded for block 2 (whose C>=128 tensors are already
+# full-lane).
+# ---------------------------------------------------------------------------
+
+def _fold_w(x):
+    """[B, H, W, C] -> [B, H, W//2, 2C]; channel block p holds width phase p
+    (pure reshape: row-major (w, c) order is preserved)."""
+    B, H, W, C = x.shape
+    return x.reshape(B, H, W // 2, 2 * C)
+
+
+def _fold_kernel(k):
+    """[3, 3, ci, co] -> [3, 3, 2ci, 2co] zero-embedded so a stride-1 SAME
+    conv on the W-folded layout computes the identical function.
+
+    Output phase p corresponds to original column w = 2j + p; its 3-tap
+    window maps to folded columns {j-1..j} (p=0) / {j..j+1} (p=1), expressed
+    in one folded 3-tap kernel with zeros in the unused slots."""
+    kh, kw, ci, co = k.shape
+    assert kw == 3, "W-folding is specialized to 3-wide stride-1 SAME convs"
+    z = jnp.zeros((kh, ci, co), k.dtype)
+
+    def blk(a00, a01, a10, a11):
+        # (input-phase, output-phase) blocks -> (kh, 2ci, 2co)
+        return jnp.concatenate(
+            [jnp.concatenate([a00, a01], axis=-1),
+             jnp.concatenate([a10, a11], axis=-1)], axis=-2)
+
+    f0 = blk(z, z, k[:, 0], z)                       # folded offset -1
+    f1 = blk(k[:, 1], k[:, 0], k[:, 2], k[:, 1])     # folded offset 0
+    f2 = blk(z, k[:, 2], z, z)                       # folded offset +1
+    return jnp.stack([f0, f1, f2], axis=1)
+
+
+def _maxpool2x2_folded(x):
+    """2x2/2 pool on a W-folded tensor [B, H, W/2, 2C] -> [B, H/2, W/2, C].
+
+    The width half of the pool is a max over the two phase channel blocks;
+    the result is naturally unfolded."""
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 2, 1, 1), window_strides=(1, 2, 1, 1), padding="VALID")
+    C = x.shape[-1] // 2
+    return jnp.maximum(x[..., :C], x[..., C:])
+
+
+def vgg16(params, images, train=False, dropout_rng=None, fold_w=True):
     """images: (N, 224, 224, 3) float in [0,1] -> (N, 1000) logits.
 
     Dropout (p=0.5) is active in train mode exactly as torchvision's
-    classifier does during reference training.
+    classifier does during reference training.  fold_w enables the
+    width-folded block-1 layout (identical math, see _fold_kernel).
     """
     x = images
     conv_idx = 0
+    folded = fold_w and x.shape[2] % 2 == 0
+    if folded:
+        x = _fold_w(x)
     for v in VGG16_CFG:
         if v == "M":
-            x = _maxpool2x2(x)
+            if folded:
+                x = _maxpool2x2_folded(x)
+                folded = False
+            else:
+                x = _maxpool2x2(x)
             continue
         p = params["features"][conv_idx]
         conv_idx += 1
+        if folded and v > 64:
+            # folding only pays while 2C <= 128; unfold before wider convs
+            B_, H_, Wf, C2 = x.shape
+            x = x.reshape(B_, H_, Wf * 2, C2 // 2)
+            folded = False
+        if folded:
+            x = jax.lax.conv_general_dilated(
+                x, _fold_kernel(p["kernel"]), window_strides=(1, 1),
+                padding=[(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = _bias_relu(x, jnp.concatenate([p["bias"], p["bias"]]))
+            continue
         x = jax.lax.conv_general_dilated(
             x, p["kernel"], window_strides=(1, 1), padding=[(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        x = jax.nn.relu(x + p["bias"])
+        x = _bias_relu(x, p["bias"])
     # (N, 7, 7, 512) -> flatten in NCHW order for torch-weight compatibility
     n = x.shape[0]
     x = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, -1)
@@ -113,7 +218,8 @@ def init_visual_net(key, view_size, vgg_out=VGG_OUT, img_size=224):
     }
 
 
-def visual_net(p, images_u8, c_u, c_i, train=False, dropout_rng=None):
+def visual_net(p, images_u8, c_u, c_i, train=False, dropout_rng=None,
+               fold_w=True):
     """images_u8: (B, V, P, H, W, 3) uint8 -> matching scores (eq. 10-11).
 
     Reference: model.py:212-229.  Returns pos_match, neg_match, final_pos,
@@ -123,7 +229,7 @@ def visual_net(p, images_u8, c_u, c_i, train=False, dropout_rng=None):
     compute_dtype = p["linear"]["kernel"].dtype  # follows mixed-precision cast
     images = images_u8.reshape((B * V * P,) + images_u8.shape[3:])
     images = images.astype(compute_dtype) / 255.0  # on-device /255, NO mean/std norm
-    img_repr = vgg16(p["vgg16"], images, train, dropout_rng)
+    img_repr = vgg16(p["vgg16"], images, train, dropout_rng, fold_w=fold_w)
     img_repr = img_repr.reshape(B, V, P, -1).mean(axis=2)  # eq. 10
 
     img_emb = linear(p["linear"], img_repr)[..., 0]          # (B, V)

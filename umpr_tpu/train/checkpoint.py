@@ -120,7 +120,17 @@ def save_pytree(path, tree, backend="npz"):
     keys, leaves, fingerprint = _flatten_with_keys(tree)
     if len(set(keys)) != len(keys):
         raise ValueError("pytree has duplicate path keys; cannot checkpoint")
-    arrays = {f"leaf_{i:05d}": np.asarray(x) for i, x in enumerate(leaves)}
+
+    def savable(x):
+        # numpy serializes non-native dtypes (bfloat16 Adam moments) as raw
+        # void bytes, losing the dtype on load; store them widened to f32
+        # (lossless) -- restore casts back to the model's dtype.
+        a = np.asarray(x)
+        if a.dtype.kind == "V" or a.dtype.name == "bfloat16":
+            a = a.astype(np.float32)
+        return a
+
+    arrays = {f"leaf_{i:05d}": savable(x) for i, x in enumerate(leaves)}
     # atomic overwrite: a crash mid-save must never leave a truncated
     # arrays.npz as the only copy of the run's best model
     np.savez(os.path.join(path, "arrays.tmp.npz"), **arrays)
@@ -183,7 +193,10 @@ def restore_pytree(path, like):
             raise ValueError(
                 f"checkpoint at {path}: leaf {key} has shape {new.shape}, "
                 f"expected {np.shape(old)} (model size mismatch?)")
-    new_leaves = [jax.numpy.asarray(nl) for nl in new_leaves]
+    # restore in the model's dtypes (bf16 moments were widened to f32 on save)
+    new_leaves = [jax.numpy.asarray(nl).astype(
+                      getattr(old, "dtype", None) or np.asarray(old).dtype)
+                  for old, nl in zip(leaves, new_leaves)]
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(like), new_leaves)
 

@@ -45,11 +45,52 @@ def _no_bias_mask(params):
     return walk(params)
 
 
-def make_optimizer(l2_regularization):
+def _scale_by_adam_bf16_moments(b1, b2, eps):
+    """scale_by_adam with BOTH moments stored bfloat16 (f32 math in-register).
+
+    Halves the m/v read+write streams of the fused grad+Adam ops -- on the
+    full UMPR they move ~4 GB/step of f32 optimizer state over VGG16's 138M
+    params.  The update is computed from the ROUNDED stored moments so a
+    checkpoint resume replays the exact same trajectory as an uninterrupted
+    run.  Opt-in via --adam_moment_dtype bfloat16 (default float32 keeps
+    bit-parity with torch Adam)."""
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        z = lambda p: jnp.zeros(p.shape, jnp.bfloat16)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(z, params), nu=jax.tree.map(z, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        # f32 moment math, bf16 storage; the rounded values feed the update
+        mu = jax.tree.map(
+            lambda m, g: (b1 * m.astype(g.dtype) + (1 - b1) * g).astype(jnp.bfloat16),
+            state.mu, updates)
+        nu = jax.tree.map(
+            lambda v, g: (b2 * v.astype(g.dtype) + (1 - b2) * g * g).astype(jnp.bfloat16),
+            state.nu, updates)
+        c1 = 1 - b1 ** count.astype(jnp.float32)
+        c2 = 1 - b2 ** count.astype(jnp.float32)
+        out = jax.tree.map(
+            lambda m, v, g: (m.astype(g.dtype) / c1)
+            / (jnp.sqrt(v.astype(g.dtype) / c2) + eps),
+            mu, nu, updates)
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(l2_regularization, moment_dtype="float32"):
     """Gradient transform WITHOUT the lr scale (the step applies -lr)."""
+    adam = (optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)  # torch defaults
+            if moment_dtype == "float32"
+            else _scale_by_adam_bf16_moments(0.9, 0.999, 1e-8))
     return optax.chain(
         optax.masked(optax.add_decayed_weights(l2_regularization), _no_bias_mask),
-        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),  # torch Adam defaults
+        adam,
     )
 
 

@@ -89,7 +89,8 @@ class Trainer:
         self._n_dev = n_dev
         self.frozen = self._place_frozen(self.frozen)
 
-        self.tx = make_optimizer(config.l2_regularization)
+        self.tx = make_optimizer(config.l2_regularization,
+                                 getattr(config, "adam_moment_dtype", "float32"))
         self.opt_state = jax.device_put(self.tx.init(self.trainable), self.rep)
         self.train_step = make_train_step(self.dims, self.tx)
         self.eval_step = make_eval_step(self.dims)
