@@ -164,7 +164,11 @@ def vgg16(params, images, train=False, dropout_rng=None, fold_w=True):
     """
     x = images
     conv_idx = 0
-    folded = fold_w and x.shape[2] % 2 == 0
+    # Measured crossover (BENCH_DETAILS.md): folding wins at VGG batch
+    # N<=64 (B=64/V=1: 63.0 -> 56.5 ms full step) but loses by N=128
+    # (97.6 -> 105.8 ms) -- with more rows XLA already tiles the C=64 convs
+    # well and the folded kernels' 2x nominal MACs turn into real MXU time.
+    folded = fold_w and x.shape[2] % 2 == 0 and x.shape[0] <= 64
     if folded:
         x = _fold_w(x)
     for v in VGG16_CFG:
