@@ -128,9 +128,9 @@ def bench_tpu_full(batch_np, B):
     params = init_umpr(jax.random.PRNGKey(0), dims,
                        rng.standard_normal((VOCAB, EMB)).astype(np.float32))
     trainable, frozen = split_frozen(params)
-    # bf16 Adam moments (--adam_moment_dtype bfloat16): the framework's
-    # fast-training config; halves the optimizer-state HBM traffic over
-    # VGG16's 138M params (~2 ms/step at B=64; resume-exact, see
+    # bf16 Adam first moment (--adam_moment_dtype bfloat16): the framework's
+    # fast-training config; cuts the optimizer-state HBM traffic over
+    # VGG16's 138M params (resume-exact; the second moment stays f32 -- see
     # umpr_tpu/train/optim.py).  Default f32 keeps torch-Adam bit parity.
     tx = make_optimizer(1e-3, "bfloat16")
     opt_state = tx.init(trainable)

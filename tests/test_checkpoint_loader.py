@@ -266,3 +266,17 @@ def test_npz_roundtrips_bf16_opt_state(tmp_path):
     assert out["w"].dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(out["mu"], np.float32),
                                   np.asarray(tree["mu"], np.float32))
+
+
+def test_npz_restore_rejects_real_dtype_mismatch(tmp_path):
+    """A genuine dtype mismatch (e.g. resuming f32 Adam moments into a
+    bf16-moment optimizer) must raise, not silently cast: the widened-bf16
+    disk format makes silent casts indistinguishable from data loss."""
+    import pytest
+    import jax.numpy as jnp
+    from umpr_tpu.train import checkpoint as ckpt
+    tree = {"mu": jnp.asarray([1.5, -2.25, 3.0], jnp.float32)}
+    ckpt.save_pytree(str(tmp_path / "c"), tree)
+    like = {"mu": jnp.zeros(3, jnp.bfloat16)}
+    with pytest.raises(ValueError, match="saved as float32"):
+        ckpt.restore_pytree(str(tmp_path / "c"), like)

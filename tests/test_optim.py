@@ -173,7 +173,10 @@ def test_adam_bf16_moments_tracks_f32():
                                np.asarray(p32["layer"]["kernel"]),
                                rtol=0, atol=2e-2)
     assert s16[1].mu["layer"]["kernel"].dtype == jnp.bfloat16
-    assert s16[1].nu["layer"]["kernel"].dtype == jnp.bfloat16
+    # nu stays f32: with b2=0.999 its ~0.1% per-step EMA change is below
+    # bf16's rounding threshold, so a bf16 nu would ratchet up on spikes and
+    # never decay (see _scale_by_adam_bf16_moments).
+    assert s16[1].nu["layer"]["kernel"].dtype == jnp.float32
 
     # resume-exactness: replaying step 6 from the stored (rounded) state in a
     # fresh transform gives bit-identical params to continuing in-process
@@ -186,3 +189,21 @@ def test_adam_bf16_moments_tracks_f32():
     p_res = jax.tree.map(lambda p, u: p - lr * u, p16, u_res)
     np.testing.assert_array_equal(np.asarray(p_cont["layer"]["kernel"]),
                                   np.asarray(p_res["layer"]["kernel"]))
+
+
+def test_adam_bf16_second_moment_decays_after_spike():
+    """Regression: nu must keep decaying under small late-training gradients
+    (a bf16-stored nu would absorb sub-ULP EMA updates and stay frozen at
+    its historical peak forever)."""
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    tx = make_optimizer(0.0, "bfloat16")
+    s = tx.init(params)
+    spike = {"w": jnp.full((4,), 10.0, jnp.float32)}
+    _, s = tx.update(spike, s, params)
+    nu_peak = float(s[1].nu["w"][0])
+    tiny = {"w": jnp.full((4,), 1e-3, jnp.float32)}
+    for _ in range(50):
+        _, s = tx.update(tiny, s, params)
+    nu_now = float(s[1].nu["w"][0])
+    # 50 steps of 0.999 decay toward ~0: nu must shrink by ~|1 - 0.999^50|
+    assert nu_now < nu_peak * 0.96, (nu_peak, nu_now)

@@ -179,7 +179,8 @@ def main():
         @jax.jit
         def vfwd(vp):
             x = imgs.astype(dtype) / 255.0
-            return jnp.sum(vgg16(vp, x).astype(jnp.float32))
+            return jnp.sum(vgg16(vp, x, fold_w=not args.no_fold)
+                           .astype(jnp.float32))
         fwd_flops = vgg16_flops(IMG, B, train=False)
         dt = timeit(lambda: vfwd(vp), lambda *a: float(a[0]) if a else None,
                     iters=args.iters)

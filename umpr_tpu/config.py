@@ -87,9 +87,11 @@ class Config:
                       # of 32 (VGG16's five 2x2 pools).
     vgg_fold_w = True  # width-folded VGG block 1 (identical math; fills the
                        # 128-lane TPU tiles that block 1's C=64 half-wastes).
-    adam_moment_dtype = "float32"  # 'bfloat16' stores Adam m/v rounded (f32
-                                   # math): halves optimizer HBM traffic over
-                                   # VGG16's 138M params; resume-exact.
+    adam_moment_dtype = "float32"  # 'bfloat16' stores Adam m rounded (f32
+                                   # math; v stays f32 -- its EMA change is
+                                   # below bf16's ULP): cuts optimizer HBM
+                                   # traffic over VGG16's 138M params;
+                                   # resume-exact.
     profile_dir = ""  # if set, write a jax.profiler trace of a few steps here.
     cache_dataset = True  # cache the packed dataset arrays next to the CSVs (reference: main.py:66-73).
     checkpoint_backend = "npz"  # 'npz' (path-keyed arrays, no deps) | 'orbax'

@@ -49,10 +49,16 @@ class ModelDims:
                                     # params stay f32 (mixed precision)
     vgg_fold_w: bool = True  # width-folded VGG block 1 (identical math;
                              # fills the 128-lane tiles that C=64 half-wastes)
+    n_data_devices: int = 1  # devices the batch is sharded over ('dp' mesh
+                             # axis).  The fold's measured win/loss crossover
+                             # is PER-DEVICE rows (<=64), but under GSPMD jit
+                             # the traced shape is global, so the gate scales
+                             # its threshold by this count.
 
     @classmethod
-    def from_config(cls, config, use_pallas=None):
+    def from_config(cls, config, use_pallas=None, n_data_devices=1):
         return cls(
+            n_data_devices=n_data_devices,
             compute_dtype=config.compute_dtype,
             gru_size=config.gru_size,
             self_atte_size=config.self_atte_size,
@@ -144,7 +150,7 @@ def umpr_forward(params, batch, dims: ModelDims, train=False, dropout_rng=None):
         exists, ui_exists, dims.threshold, dims.use_pallas)
     pos_match, neg_match, final_pos, final_neg = visual_net(
         params["visual_net"], batch["photos"], c_u, c_i, train, dropout_rng,
-        fold_w=dims.vgg_fold_w)
+        fold_w=dims.vgg_fold_w, fold_rows=64 * dims.n_data_devices)
 
     fused = jnp.concatenate([rn, final_pos, final_neg], axis=-1)
     prediction = jax.nn.relu(linear(params["linear_fusion"], fused))[:, 0]

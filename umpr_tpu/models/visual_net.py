@@ -143,6 +143,28 @@ def _fold_kernel(k):
     return jnp.stack([f0, f1, f2], axis=1)
 
 
+@jax.custom_vjp
+def _phase_max(a, b):
+    return jnp.maximum(a, b)
+
+
+def _phase_max_fwd(a, b):
+    # jnp.maximum in the forward keeps NaN propagation identical to the
+    # unfolded pool; the custom bwd replaces maximum's tie-splitting vjp
+    # (an extra equality+divide pass over the 224^2 tensors; ~0.4 ms/step
+    # end-to-end at B=64) with a plain mask that routes gradient ties to
+    # the first width phase, like the select-and-scatter pool path does.
+    return jnp.maximum(a, b), a >= b
+
+
+def _phase_max_bwd(mask, g):
+    z = jnp.zeros_like(g)
+    return jnp.where(mask, g, z), jnp.where(mask, z, g)
+
+
+_phase_max.defvjp(_phase_max_fwd, _phase_max_bwd)
+
+
 def _maxpool2x2_folded(x):
     """2x2/2 pool on a W-folded tensor [B, H, W/2, 2C] -> [B, H/2, W/2, C].
 
@@ -152,29 +174,28 @@ def _maxpool2x2_folded(x):
         x, -jnp.inf, jax.lax.max,
         window_dimensions=(1, 2, 1, 1), window_strides=(1, 2, 1, 1), padding="VALID")
     C = x.shape[-1] // 2
-    a, b = x[..., :C], x[..., C:]
-    # where, not jnp.maximum: maximum's vjp splits ties with an extra
-    # equality+divide pass over the 224^2 tensors (profile attributes
-    # ~2.5 ms/step of op time at B=64; ~0.4 ms end-to-end after overlap);
-    # where routes ties to the first width phase like the select-and-scatter
-    # pool path does, with a plain mask vjp.
-    return jnp.where(a >= b, a, b)
+    return _phase_max(x[..., :C], x[..., C:])
 
 
-def vgg16(params, images, train=False, dropout_rng=None, fold_w=True):
+def vgg16(params, images, train=False, dropout_rng=None, fold_w=True,
+          fold_rows=64):
     """images: (N, 224, 224, 3) float in [0,1] -> (N, 1000) logits.
 
     Dropout (p=0.5) is active in train mode exactly as torchvision's
     classifier does during reference training.  fold_w enables the
-    width-folded block-1 layout (identical math, see _fold_kernel).
+    width-folded block-1 layout (identical math, see _fold_kernel);
+    fold_rows is the global-row gate threshold (64 x data-parallel device
+    count: the measured crossover is per-DEVICE rows, but jit traces the
+    global shape).
     """
     x = images
     conv_idx = 0
     # Measured crossover (BENCH_DETAILS.md): folding wins at VGG batch
-    # N<=64 (B=64/V=1: 63.0 -> 56.5 ms full step) but loses by N=128
-    # (97.6 -> 105.8 ms) -- with more rows XLA already tiles the C=64 convs
-    # well and the folded kernels' 2x nominal MACs turn into real MXU time.
-    folded = fold_w and x.shape[2] % 2 == 0 and x.shape[0] <= 64
+    # N<=64 per device (B=64/V=1: 63.0 -> 56.5 ms full step) but loses by
+    # N=128 (97.6 -> 105.8 ms) -- with more rows XLA already tiles the C=64
+    # convs well and the folded kernels' 2x nominal MACs turn into real MXU
+    # time.
+    folded = fold_w and x.shape[2] % 2 == 0 and x.shape[0] <= fold_rows
     if folded:
         x = _fold_w(x)
     for v in VGG16_CFG:
@@ -187,11 +208,10 @@ def vgg16(params, images, train=False, dropout_rng=None, fold_w=True):
             continue
         p = params["features"][conv_idx]
         conv_idx += 1
-        if folded and v > 64:
-            # folding only pays while 2C <= 128; unfold before wider convs
-            B_, H_, Wf, C2 = x.shape
-            x = x.reshape(B_, H_, Wf * 2, C2 // 2)
-            folded = False
+        # VGG16_CFG always pools ('M') before the first >64-channel conv, so
+        # `folded` never survives past block 1 and folded convs are always
+        # 128-wide (2C <= 128).
+        assert not (folded and v > 64), "fold must not reach >64-channel convs"
         if folded:
             x = jax.lax.conv_general_dilated(
                 x, _fold_kernel(p["kernel"]), window_strides=(1, 1),
@@ -229,7 +249,7 @@ def init_visual_net(key, view_size, vgg_out=VGG_OUT, img_size=224):
 
 
 def visual_net(p, images_u8, c_u, c_i, train=False, dropout_rng=None,
-               fold_w=True):
+               fold_w=True, fold_rows=64):
     """images_u8: (B, V, P, H, W, 3) uint8 -> matching scores (eq. 10-11).
 
     Reference: model.py:212-229.  Returns pos_match, neg_match, final_pos,
@@ -239,7 +259,8 @@ def visual_net(p, images_u8, c_u, c_i, train=False, dropout_rng=None,
     compute_dtype = p["linear"]["kernel"].dtype  # follows mixed-precision cast
     images = images_u8.reshape((B * V * P,) + images_u8.shape[3:])
     images = images.astype(compute_dtype) / 255.0  # on-device /255, NO mean/std norm
-    img_repr = vgg16(p["vgg16"], images, train, dropout_rng, fold_w=fold_w)
+    img_repr = vgg16(p["vgg16"], images, train, dropout_rng, fold_w=fold_w,
+                     fold_rows=fold_rows)
     img_repr = img_repr.reshape(B, V, P, -1).mean(axis=2)  # eq. 10
 
     img_emb = linear(p["linear"], img_repr)[..., 0]          # (B, V)

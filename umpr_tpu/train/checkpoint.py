@@ -131,13 +131,18 @@ def save_pytree(path, tree, backend="npz"):
         return a
 
     arrays = {f"leaf_{i:05d}": savable(x) for i, x in enumerate(leaves)}
+    # Logical (pre-widening) dtypes: restore uses these to tell "bf16 leaf
+    # widened to f32 on disk" (cast back) from a REAL dtype mismatch like
+    # resuming f32 Adam moments into a bf16-moment optimizer (raise).
+    dtypes = [str(getattr(x, "dtype", None) or np.asarray(x).dtype)
+              for x in leaves]
     # atomic overwrite: a crash mid-save must never leave a truncated
     # arrays.npz as the only copy of the run's best model
     np.savez(os.path.join(path, "arrays.tmp.npz"), **arrays)
     os.replace(os.path.join(path, "arrays.tmp.npz"),
                os.path.join(path, "arrays.npz"))
     with open(os.path.join(path, "structure.json.tmp"), "w") as f:
-        json.dump({"version": FORMAT_VERSION, "keys": keys,
+        json.dump({"version": FORMAT_VERSION, "keys": keys, "dtypes": dtypes,
                    "fingerprint": fingerprint, "n": len(leaves)}, f)
     os.replace(os.path.join(path, "structure.json.tmp"),
                os.path.join(path, "structure.json"))
@@ -187,13 +192,28 @@ def restore_pytree(path, like):
                 f"unexpected keys {extra[:5]}{'...' if len(extra) > 5 else ''}")
         with np.load(os.path.join(path, "arrays.npz")) as z:
             new_leaves = [z[f"leaf_{index[k]:05d}"] for k in keys]
+        if meta.get("dtypes") is not None:
+            # re-align the dtype record from checkpoint key order to the
+            # model's key order (new_leaves order)
+            meta = {**meta, "dtypes": [meta["dtypes"][index[k]] for k in keys]}
 
-    for key, old, new in zip(keys, leaves, new_leaves):
+    saved_dtypes = meta.get("dtypes")  # absent in older checkpoints
+    for i, (key, old, new) in enumerate(zip(keys, leaves, new_leaves)):
         if tuple(np.shape(old)) != tuple(new.shape):
             raise ValueError(
                 f"checkpoint at {path}: leaf {key} has shape {new.shape}, "
                 f"expected {np.shape(old)} (model size mismatch?)")
-    # restore in the model's dtypes (bf16 moments were widened to f32 on save)
+        like_dt = str(getattr(old, "dtype", None) or np.asarray(old).dtype)
+        if saved_dtypes is not None and saved_dtypes[i] != like_dt:
+            raise ValueError(
+                f"checkpoint at {path}: leaf {key} was saved as "
+                f"{saved_dtypes[i]} but the model expects {like_dt} "
+                "(resuming across --adam_moment_dtype / --compute_dtype "
+                "settings?). Restore with a matching configuration.")
+    # Restore in the model's dtypes: undoes the lossless f32 widening of
+    # bf16 leaves on disk.  With a dtype record this only ever narrows
+    # widened bf16 back; for legacy checkpoints without one it remains a
+    # silent best-effort cast.
     new_leaves = [jax.numpy.asarray(nl).astype(
                       getattr(old, "dtype", None) or np.asarray(old).dtype)
                   for old, nl in zip(leaves, new_leaves)]

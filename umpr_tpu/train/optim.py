@@ -46,37 +46,43 @@ def _no_bias_mask(params):
 
 
 def _scale_by_adam_bf16_moments(b1, b2, eps):
-    """scale_by_adam with BOTH moments stored bfloat16 (f32 math in-register).
+    """scale_by_adam with the FIRST moment stored bfloat16 (f32 math
+    in-register); the second moment stays float32.
 
-    Halves the m/v read+write streams of the fused grad+Adam ops -- on the
-    full UMPR they move ~4 GB/step of f32 optimizer state over VGG16's 138M
-    params.  The update is computed from the ROUNDED stored moments so a
-    checkpoint resume replays the exact same trajectory as an uninterrupted
-    run.  Opt-in via --adam_moment_dtype bfloat16 (default float32 keeps
-    bit-parity with torch Adam)."""
+    mu's per-step relative change is ~(1-b1)=10%, far above bf16's half-ULP
+    (~0.2-0.4%), so rounding it is benign.  nu's per-step change with
+    b2=0.999 is ~0.1% -- BELOW bf16's rounding threshold -- so a bf16 nu
+    would absorb small updates entirely: it could ratchet up on gradient
+    spikes but never decay back, permanently suppressing those parameters'
+    updates late in training.  nu therefore stays f32; the option still cuts
+    a quarter of the m/v read+write streams of the fused grad+Adam ops over
+    VGG16's 138M params.  The update is computed from the ROUNDED stored mu
+    so a checkpoint resume replays the exact same trajectory as an
+    uninterrupted run.  Opt-in via --adam_moment_dtype bfloat16 (default
+    float32 keeps bit-parity with torch Adam)."""
     import jax.numpy as jnp
 
     def init_fn(params):
-        z = lambda p: jnp.zeros(p.shape, jnp.bfloat16)
         return optax.ScaleByAdamState(
             count=jnp.zeros([], jnp.int32),
-            mu=jax.tree.map(z, params), nu=jax.tree.map(z, params))
+            mu=jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.bfloat16), params),
+            nu=jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params))
 
     def update_fn(updates, state, params=None):
         del params
         count = optax.safe_int32_increment(state.count)
-        # f32 moment math, bf16 storage; the rounded values feed the update
+        # f32 moment math, bf16 mu storage; the rounded values feed the update
         mu = jax.tree.map(
             lambda m, g: (b1 * m.astype(g.dtype) + (1 - b1) * g).astype(jnp.bfloat16),
             state.mu, updates)
         nu = jax.tree.map(
-            lambda v, g: (b2 * v.astype(g.dtype) + (1 - b2) * g * g).astype(jnp.bfloat16),
+            lambda v, g: b2 * v + (1 - b2) * (g * g).astype(jnp.float32),
             state.nu, updates)
         c1 = 1 - b1 ** count.astype(jnp.float32)
         c2 = 1 - b2 ** count.astype(jnp.float32)
         out = jax.tree.map(
             lambda m, v, g: (m.astype(g.dtype) / c1)
-            / (jnp.sqrt(v.astype(g.dtype) / c2) + eps),
+            / (jnp.sqrt(v / c2).astype(g.dtype) + eps),
             mu, nu, updates)
         return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
 
@@ -85,6 +91,10 @@ def _scale_by_adam_bf16_moments(b1, b2, eps):
 
 def make_optimizer(l2_regularization, moment_dtype="float32"):
     """Gradient transform WITHOUT the lr scale (the step applies -lr)."""
+    if moment_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"adam_moment_dtype must be 'float32' or 'bfloat16', got "
+            f"{moment_dtype!r}")
     adam = (optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)  # torch defaults
             if moment_dtype == "float32"
             else _scale_by_adam_bf16_moments(0.9, 0.999, 1e-8))

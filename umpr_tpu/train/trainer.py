@@ -33,7 +33,6 @@ class Trainer:
         self.config = config
         self.logger = logger
         self.w2v = word2vec
-        self.dims = ModelDims.from_config(config)
         if config.checkpoint_backend == "orbax" and jax.process_count() > 1:
             # Orbax's Checkpointer runs cross-process sync barriers inside
             # save(); a primary-only call would block at the barrier.  The
@@ -52,6 +51,11 @@ class Trainer:
         n_dev = int(np.prod([d for d in self.mesh.devices.shape]))
         assert config.batch_size % n_dev == 0, (
             f"batch_size {config.batch_size} must divide over {n_dev} devices")
+        # n_data_devices scales the VGG width-fold gate: its win/loss
+        # crossover is per-device rows, but jit traces global shapes.  The
+        # batch is sharded over the 'dp' mesh axis only.
+        self.dims = ModelDims.from_config(
+            config, n_data_devices=int(self.mesh.shape.get("dp", 1)))
         self.rep = replicated(self.mesh)
         self.dp = batch_sharded(self.mesh)
 
