@@ -55,7 +55,10 @@ def load_split(name, csv_path, photo_json, photo_dir, w2v, config, logger):
         return ds
 
     if jax.process_count() == 1:
-        return try_cache() or build(write_cache=config.cache_dataset)
+        # `is not None`, not `or`: a legitimately empty split (every row
+        # filtered out) is falsy but still a valid cache hit.
+        ds = try_cache()
+        return ds if ds is not None else build(write_cache=config.cache_dataset)
 
     ds = try_cache()
     if ds is not None:
@@ -66,7 +69,8 @@ def load_split(name, csv_path, photo_json, photo_dir, w2v, config, logger):
         multihost.barrier(f"dataset_{name}")
         return ds
     multihost.barrier(f"dataset_{name}")  # wait for the primary's cache
-    return try_cache() or build(write_cache=False)
+    ds = try_cache()
+    return ds if ds is not None else build(write_cache=False)
 
 
 def main():

@@ -88,6 +88,14 @@ def main():
     stamp = multihost.broadcast_str(f"stamp-from-p{process_id}")
     assert stamp == "stamp-from-p0", stamp
     multihost.barrier("worker-rendezvous")
+    # checkpoint-restore shipping: primary's pytree must reach every host
+    # verbatim (trainer test()/resume use this when hosts don't share disk)
+    import numpy as np
+    src = {"w": np.full((3, 2), 7.0 + process_id, np.float32),
+           "b": np.arange(4, dtype=np.int32) * (process_id + 1)}
+    got = multihost.broadcast_pytree(src)
+    assert float(got["w"][0, 0]) == 7.0, got["w"]
+    assert got["b"][3] == 3, got["b"]
     result = run_steps()
     # the cross-process tensor-parallel layout: vocab rows sharded over a
     # mesh axis that spans both processes

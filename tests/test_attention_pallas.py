@@ -127,6 +127,20 @@ def test_tiled_gradients_match_composite(monkeypatch):
                                    rtol=1e-3, atol=1e-3, err_msg=name)
 
 
+def test_affinity_attention_raises_past_tiled_vmem_ceiling():
+    """P beyond the tiled kernel's VMEM ceiling must fail early with a
+    legible error, not deep inside Mosaic's allocator."""
+    import pytest
+    from umpr_tpu.ops import attention
+    B, P, D = 1, 40960, 128  # B*P*P*4 ~ 6.7 GB routes to tiled; P > ceiling
+    gu = jnp.zeros((B, P, D), jnp.float32)
+    gi = jnp.zeros((B, P, D), jnp.float32)
+    M = jnp.zeros((D, D), jnp.float32)
+    e = jnp.ones((P,), jnp.float32)
+    with pytest.raises(NotImplementedError, match="VMEM ceiling"):
+        attention.affinity_attention(gu, gi, M, e)
+
+
 def test_affinity_attention_routes_to_tiled_beyond_memory_budget(monkeypatch):
     """Above the (B, P, P) byte threshold affinity_attention must hand over
     to the tiled kernel (the composite would OOM HBM at real sizes)."""

@@ -268,6 +268,24 @@ def test_npz_roundtrips_bf16_opt_state(tmp_path):
                                   np.asarray(tree["mu"], np.float32))
 
 
+def test_restore_prefers_newer_format_after_crashed_clear(tmp_path, monkeypatch):
+    """Crash window: orbax save completed but _clear_other_format never ran,
+    leaving a stale npz beside it.  Restore must pick the NEWER (orbax)
+    checkpoint, not silently resurrect the stale npz params."""
+    import time
+    import jax.numpy as jnp
+    from umpr_tpu.train import checkpoint as ckpt
+    path = str(tmp_path / "c")
+    ckpt.save_pytree(path, {"w": jnp.asarray([1.0, 2.0], jnp.float32)})
+    time.sleep(0.05)  # ensure distinguishable mtimes
+    monkeypatch.setattr(ckpt, "_clear_other_format", lambda *a, **k: None)
+    ckpt.save_pytree(path, {"w": jnp.asarray([5.0, 6.0], jnp.float32)},
+                     backend="orbax")
+    assert os.path.exists(os.path.join(path, "structure.json"))  # stale npz
+    out = ckpt.restore_pytree(path, {"w": jnp.zeros(2, jnp.float32)})
+    np.testing.assert_array_equal(np.asarray(out["w"]), [5.0, 6.0])
+
+
 def test_npz_restore_rejects_real_dtype_mismatch(tmp_path):
     """A genuine dtype mismatch (e.g. resuming f32 Adam moments into a
     bf16-moment optimizer) must raise, not silently cast: the widened-bf16

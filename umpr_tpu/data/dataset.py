@@ -279,7 +279,8 @@ def _build_dataset_streaming(data_path, photo_json, photo_dir, word2vec,
     so peak RSS excludes the ~4x-corpus-size outputs entirely AND the
     result doubles as the on-disk dataset cache."""
     from umpr_tpu.native import (fast_build_histories, fast_pack_ui,
-                                 histories_retain_pass, tokenize_flat)
+                                 group_index, histories_retain_pass,
+                                 tokenize_flat)
 
     S, L, S_ui = (config.max_sent_count, config.max_sent_length,
                   config.max_ui_sent_count)
@@ -354,14 +355,14 @@ def _build_dataset_streaming(data_path, photo_json, photo_dir, word2vec,
         tok = alloc(f"{prefix}_tokens", (n_out, S, L))
         lng = alloc(f"{prefix}_lengths", (n_out, S))
         cnt = alloc(f"{prefix}_counts", (n_out,))
+        index = group_index(lead)  # once per direction, not per slab
         for lo in range(0, n_out, step):
             hi = min(lo + step, n_out)
             lng[lo:hi] = 1
-            sub_out = np.full(n, -1, np.int64)
-            sub_out[keep_arr[lo:hi]] = np.arange(hi - lo)
             r = fast_build_histories(
                 lead, costar, flat, retain, config.min_sent_count, S, L,
-                sub_out, hi - lo, out=(tok[lo:hi], lng[lo:hi], cnt[lo:hi]))
+                rows=keep_arr[lo:hi],
+                out=(tok[lo:hi], lng[lo:hi], cnt[lo:hi]), index=index)
             if r is None:
                 raise RuntimeError("native history builder unavailable")
             _flush_drop(tok)
@@ -465,14 +466,12 @@ def build_dataset(data_path, photo_json, photo_dir, word2vec, config,
             histories_retain_pass(items, users, dss, retain_arr,
                                   config.min_sent_count)
             keep_arr = np.flatnonzero(retain_arr)
-            out_row = np.full(len(retain_arr), -1, np.int64)
-            out_row[keep_arr] = np.arange(len(keep_arr))
             u_pack = fast_build_histories(users, items, flat, retain_arr,
                                           config.min_sent_count, S, L,
-                                          out_row, len(keep_arr))
+                                          rows=keep_arr)
             i_pack = fast_build_histories(items, users, flat, retain_arr,
                                           config.min_sent_count, S, L,
-                                          out_row, len(keep_arr))
+                                          rows=keep_arr)
             retain = retain_arr.astype(bool).tolist()
             packed = (u_pack, i_pack)
     except Exception as e:

@@ -72,14 +72,14 @@ class BatchLoader:
                 batch[k] = batch[k].copy()
                 batch[k][n_real:] = 1
         if not self.ignore_photos:
+            # fancy indexing already made `paths` a private copy; the masking
+            # branches below may mutate it in place
             paths = ds.photo_paths[idx]
             if n_real < b:
-                paths = paths.copy()
                 paths[n_real:] = ""
             if self.photo_rows is not None:
                 keep = np.zeros(b, dtype=bool)
                 keep[self.photo_rows] = True
-                paths = paths.copy()
                 paths[~keep] = ""
             batch["photos"] = load_photo_batch(paths, self.resize, self._executor,
                                                self.photo_cache)

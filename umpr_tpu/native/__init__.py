@@ -353,10 +353,11 @@ def _bind_histories(lib):
     lib.build_histories_packed.restype = None
     lib.build_histories_packed.argtypes = [
         np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
-        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
         np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int64),
         np.ctypeslib.ndpointer(np.int64),
         np.ctypeslib.ndpointer(np.uint8), np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
         np.ctypeslib.ndpointer(np.int32),
@@ -395,16 +396,32 @@ def flatten_tokenized(reviews):
     return flat_ids, sent_starts, doc_sent_start
 
 
+def group_index(lead):
+    """CSR index over group ids: (grp_rows, grp_start) with grp_rows = row
+    indices sorted stably by lead (original order within each group) and
+    grp_start[g]:grp_start[g+1] the rows of group g.  Build it ONCE per
+    direction and pass to fast_build_histories -- the memmap-slab path
+    calls the builder many times over the same corpus."""
+    lead = np.ascontiguousarray(lead, np.int64)
+    n_groups = int(lead.max()) + 1 if len(lead) else 0
+    counts = np.bincount(lead, minlength=n_groups)
+    grp_start = np.zeros(n_groups + 1, np.int64)
+    np.cumsum(counts, out=grp_start[1:])
+    grp_rows = np.argsort(lead, kind="stable").astype(np.int64)
+    return grp_rows, grp_start
+
+
 def fast_build_histories(lead, costar, flat, retain, min_count, max_count,
-                         max_len, out_row=None, n_out=None, out=None):
+                         max_len, rows=None, out=None, index=None):
     """C++ history building + packing (see tokenizer.cpp).  Mutates `retain`
     (a uint8 numpy array) exactly like the reference's retain_idx.
 
-    Without out_row: outputs have one slot per input row (caller filters by
-    the final retain).  With out_row (int64, -1 = skip) and n_out: outputs
-    are written compactly -- the low-RSS path for corpus-scale builds.
-    `out` optionally supplies the (tokens, lengths, counts) arrays (e.g.
-    memmap slices; tokens zeroed, lengths ones) to fill in place.
+    Without rows: outputs have one slot per input row (caller filters by
+    the final retain).  With rows (int64 global row index per output slot):
+    outputs are written compactly -- the low-RSS path for corpus-scale
+    builds.  `out` optionally supplies the (tokens, lengths, counts) arrays
+    (e.g. memmap slices; tokens zeroed, lengths ones) to fill in place.
+    `index` is a precomputed group_index(lead) (computed here if absent).
     Returns (tokens, lengths, counts) or None if the library is
     unavailable."""
     lib = _load()
@@ -413,20 +430,22 @@ def fast_build_histories(lead, costar, flat, retain, min_count, max_count,
     _bind_histories(lib)
     flat_ids, sent_starts, doc_sent_start = flat
     n = len(lead)
-    if out_row is None:
-        out_row = np.arange(n, dtype=np.int64)
-        n_out = n
+    if rows is None:
+        rows = np.arange(n, dtype=np.int64)
+    n_out = len(rows)
     if out is None:
         tokens = np.zeros((n_out, max_count, max_len), np.int32)
         lengths = np.ones((n_out, max_count), np.int32)
         counts = np.zeros(n_out, np.int32)
     else:
         tokens, lengths, counts = out
+    grp_rows, grp_start = group_index(lead) if index is None else index
     lib.build_histories_packed(
         np.ascontiguousarray(lead, np.int64),
-        np.ascontiguousarray(costar, np.int64), n,
+        np.ascontiguousarray(costar, np.int64),
+        grp_rows, grp_start,
         flat_ids, sent_starts, doc_sent_start, retain,
-        np.ascontiguousarray(out_row, np.int64),
+        np.ascontiguousarray(rows, np.int64), n_out,
         min_count, max_count, max_len, tokens.reshape(-1), lengths.reshape(-1),
         counts)
     return tokens, lengths, counts

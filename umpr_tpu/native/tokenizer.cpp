@@ -188,29 +188,29 @@ void histories_retain_pass(
 // retain is read AND written (rows failing min_count are cleared), exactly
 // like the reference's retain_idx mutation.  out_tokens must be zeroed and
 // out_lengths filled with 1 by the caller (pad-sentence semantics).
-// out_row maps each input row to its output slot (-1 = skip): identity for
-// the simple path, compacted when the caller pre-ran histories_retain_pass.
+// rows[o] = global row index for output slot o (n_sel slots).  The group
+// index is a caller-built CSR over lead ids (grp_rows = row indices sorted
+// stably by lead, grp_start[g] its group offsets): built ONCE per
+// direction, so the memmap-slab path does not re-hash the whole corpus on
+// every slab call.
 void build_histories_packed(
-    const int64_t* lead, const int64_t* costar, int64_t n_rows,
+    const int64_t* lead, const int64_t* costar,
+    const int64_t* grp_rows, const int64_t* grp_start,
     const int32_t* flat_ids, const int64_t* sent_starts,
     const int64_t* doc_sent_start,
-    uint8_t* retain, const int64_t* out_row,
+    uint8_t* retain, const int64_t* rows, int64_t n_sel,
     int32_t min_count, int32_t max_count, int32_t max_len,
     int32_t* out_tokens, int32_t* out_lengths, int32_t* out_counts) {
-    // group rows by lead id, preserving row order
-    std::unordered_map<int64_t, std::vector<int32_t>> groups;
-    groups.reserve(n_rows * 2);
-    for (int64_t i = 0; i < n_rows; i++)
-        groups[lead[i]].push_back(static_cast<int32_t>(i));
-
     std::vector<int64_t> sents;  // flat sentence indices for the current row
-    for (int64_t i = 0; i < n_rows; i++) {
-        int64_t o = out_row[i];
-        if (!retain[i] || o < 0) continue;
+    for (int64_t o = 0; o < n_sel; o++) {
+        int64_t i = rows[o];
+        if (!retain[i]) continue;
         out_counts[o] = 0;
 
         sents.clear();
-        for (int32_t j : groups[lead[i]]) {
+        for (int64_t idx = grp_start[lead[i]]; idx < grp_start[lead[i] + 1];
+             idx++) {
+            int64_t j = grp_rows[idx];
             if (costar[j] == costar[i]) continue;  // exclude the u->i review(s)
             for (int64_t s = doc_sent_start[j]; s < doc_sent_start[j + 1]; s++)
                 sents.push_back(s);

@@ -36,11 +36,24 @@ def affinity_attention(gru_u, gru_i, M, exists, use_pallas=False):
     Returns soft_u, soft_i (B, P) and atte_u, atte_i (B, D)."""
     B, P, D = gru_u.shape
     if B * P * P * 4 > TILED_BYTES_THRESHOLD:
+        # The tiled kernel keeps two (P, D) blocks plus ~8 (P, TQ>=128)
+        # stack temporaries live in its 100 MB scoped VMEM; beyond this P
+        # even the minimum tile width cannot fit and Mosaic rejects the
+        # kernel with an opaque allocation error -- fail early and legibly
+        # instead.  (P = max_sent_count * max_sent_length; the reference
+        # config is P=400.)
+        Dp_est = -(-D // 128) * 128
+        max_p = (90 << 20) // (4 * (2 * Dp_est + 8 * 128)) // 128 * 128
+        if P > max_p:
+            raise NotImplementedError(
+                f"affinity attention: P={P} exceeds the tiled kernel's "
+                f"single-core VMEM ceiling (~{max_p} at D={D}); reduce "
+                "max_sent_count/max_sent_length")
         # The composite materializes the (B, P, P) affinity tensor in HBM
         # (plus its tanh residual for the backward): beyond ~4 GB it is the
         # wrong tool and soon cannot compile at all (B=64/P=8192 needs
         # 17 GB and OOMs a 16 GB v5e).  The flash-style column-tiled kernel
-        # streams the tensor and supports arbitrary P; at the handover
+        # streams the tensor up to the VMEM ceiling checked above; at the handover
         # point the two are measured even (P=4096: 12.6 vs 12.8 ms fwd+bwd,
         # BENCH_DETAILS.md), so the switch costs nothing.  Non-128-lane D
         # is zero-padded (the padded lanes contribute nothing to A or the

@@ -116,6 +116,18 @@ def broadcast_str(s, max_len=512):
     return out.tobytes().rstrip(b"\x00").decode("utf-8")
 
 
+def broadcast_pytree(tree):
+    """Process 0's pytree of arrays, on every process (no-op
+    single-process).  Non-primary processes pass a like-structured tree
+    whose values are ignored.  Used to ship checkpoint restores from the
+    primary (the only reader) to hosts that may not share its filesystem."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+    host = jax.tree.map(np.asarray, tree)
+    return multihost_utils.broadcast_one_to_all(host)
+
+
 def put_global(batch, sharding, batch_axis=0):
     """Host numpy batch dict -> global device arrays under `sharding`.
 

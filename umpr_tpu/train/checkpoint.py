@@ -172,9 +172,17 @@ def restore_pytree(path, like):
     offending paths named.  The on-disk backend (npz vs orbax) is
     auto-detected, so any consumer can read any producer's checkpoints.
     """
-    if (not os.path.exists(os.path.join(path, "structure.json"))
-            and _orbax_restore_dir(path) is not None):
-        return _restore_orbax(path, like)
+    npz_meta = os.path.join(path, "structure.json")
+    orbax_dir = _orbax_restore_dir(path)
+    if orbax_dir is not None:
+        if not os.path.exists(npz_meta):
+            return _restore_orbax(path, like)
+        # Both formats present: a crash after writing the new format but
+        # before _clear_other_format removed the other one.  Prefer the
+        # newer checkpoint instead of silently resurrecting the stale
+        # format (e.g. first orbax save over an old npz run).
+        if os.path.getmtime(orbax_dir) > os.path.getmtime(npz_meta):
+            return _restore_orbax(path, like)
     keys, leaves, like_fingerprint = _flatten_with_keys(like)
     with open(os.path.join(path, "structure.json")) as f:
         meta = json.load(f)

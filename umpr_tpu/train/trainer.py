@@ -112,8 +112,20 @@ class Trainer:
         self.start_epoch = 0
         self.best_loss = 100.0
         if config.resume_path:
-            self.trainable, self.opt_state, meta = ckpt.restore_last(
-                config.resume_path, self.trainable, self.opt_state)
+            if jax.process_count() > 1:
+                # Only the primary reads the checkpoint (hosts need not
+                # share a filesystem); arrays and meta are broadcast.
+                import json as _json
+                meta = {}
+                if multihost.is_primary():
+                    self.trainable, self.opt_state, meta = ckpt.restore_last(
+                        config.resume_path, self.trainable, self.opt_state)
+                self.trainable = multihost.broadcast_pytree(self.trainable)
+                self.opt_state = multihost.broadcast_pytree(self.opt_state)
+                meta = _json.loads(multihost.broadcast_str(_json.dumps(meta)))
+            else:
+                self.trainable, self.opt_state, meta = ckpt.restore_last(
+                    config.resume_path, self.trainable, self.opt_state)
             self.trainable = jax.device_put(self.trainable, self.rep)
             self.opt_state = jax.device_put(self.opt_state, self.rep)
             self.batch_counter = meta["batch_counter"]
@@ -255,6 +267,11 @@ class Trainer:
                         if multihost.is_primary():  # one writer per run
                             ckpt.save_best(model_path, self._checkpoint_params(),
                                            cfg.checkpoint_backend)
+                        # every process tracks best_loss from the same
+                        # (collective) valid_mse, so all reach this barrier;
+                        # it makes the write durable before any host can
+                        # move on to a read (test()/resume)
+                        multihost.barrier(f"save_best_{self.batch_counter}")
                         self.best_loss = valid_mse
 
             started_profile = False
@@ -304,6 +321,7 @@ class Trainer:
                                backend=cfg.checkpoint_backend,
                                epoch=epoch + 1, batch_counter=self.batch_counter,
                                best_loss=self.best_loss)
+            multihost.barrier(f"save_last_{epoch}")
             if self.batch_counter > cfg.max_batches:
                 break
 
@@ -314,7 +332,16 @@ class Trainer:
     def test(self, test_data, model_path):
         logger = self.logger
         logger.info("Start to test.")
-        params = ckpt.restore_best(model_path, self._checkpoint_params())
+        like = self._checkpoint_params()
+        if jax.process_count() > 1:
+            # primary-only read + broadcast: non-primary hosts may not share
+            # the primary's filesystem, and even on shared storage a read
+            # racing the primary's atomic swap could see the previous save
+            params = (ckpt.restore_best(model_path, like)
+                      if multihost.is_primary() else like)
+            params = multihost.broadcast_pytree(params)
+        else:
+            params = ckpt.restore_best(model_path, like)
         trainable, frozen = split_frozen(params)
         trainable = jax.device_put(trainable, self.rep)
         # same placement as training: keeps --shard_embedding sharded at
