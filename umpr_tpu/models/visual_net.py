@@ -67,7 +67,13 @@ def _bias_relu(x, b):
 
 def _bias_relu_fwd(x, b):
     y = jax.nn.relu(x + b)
-    return y, y  # residual = output only
+    # The barrier pins the saved residual to THIS buffer: without it, XLA's
+    # fusion pass re-derives the backward's relu mask from the pre-activation
+    # (y's producer), keeping pre-activation AND y live out of the conv
+    # fusion -- a second full-tensor store on every pre-pool conv (~1.5 GB of
+    # extra writes per B=128 step, measured via the xplane profile's
+    # two-output broadcast_maximum fusions).
+    return y, jax.lax.optimization_barrier(y)
 
 
 def _bias_relu_bwd(y, g):
