@@ -188,3 +188,38 @@ def test_serve_cli_end_to_end(corpus_dir, tmp_path):
     scored = out["prediction"].notna()
     assert scored.any()
     assert (out.loc[scored, "prediction"] >= 0).all()
+
+
+def test_factored_nu_fit_and_resume(corpus_dir, tmp_path):
+    """--adam_factored_nu end to end: training runs, the factored optimizer
+    state checkpoints, and a resume restores it (shape-compatible like)."""
+    base = ["--device", "cpu", "--review_net_only", "True",
+            "--batch_size", "8", "--train_epochs", "1",
+            "--eval_every", "2", "--learning_rate", "0.01",
+            "--min_sent_count", "1", "--seed", "2",
+            "--cache_dataset", "False", "--adam_factored_nu", "True"]
+    cfg = Config(argv=base)
+    logger = get_logger(logger_name="e2e-factored")
+    w2v = Word2vec(str(corpus_dir / "glove.txt"))
+    mk = lambda split: build_dataset(str(corpus_dir / f"{split}.csv"),
+                                     str(corpus_dir / "photos.json"),
+                                     str(corpus_dir / "photos"), w2v, cfg)
+    train_ds, valid_ds = mk("train"), mk("valid")
+    model_dir = str(tmp_path / "model")
+    trainer = Trainer(cfg, logger, w2v)
+    trainer.fit(train_ds, valid_ds, model_dir)
+    mse = trainer.test(valid_ds, model_dir)
+    assert np.isfinite(mse)
+
+    # factored nu state: >=2-D trainables carry (row, col) pairs
+    adam_state = trainer.opt_state[1]
+    pair_shapes = [tuple(a.shape for a in leaf) for leaf in adam_state.nu
+                   if len(leaf) == 2]
+    assert pair_shapes, "no factored leaves found"
+
+    cfg2 = Config(argv=base + ["--train_epochs", "2",
+                               "--resume_path", model_dir])
+    trainer2 = Trainer(cfg2, logger, w2v)
+    assert trainer2.start_epoch == 1
+    trainer2.fit(train_ds, valid_ds, model_dir)
+    assert trainer2.batch_counter > trainer.batch_counter

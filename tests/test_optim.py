@@ -207,3 +207,83 @@ def test_adam_bf16_second_moment_decays_after_spike():
     nu_now = float(s[1].nu["w"][0])
     # 50 steps of 0.999 decay toward ~0: nu must shrink by ~|1 - 0.999^50|
     assert nu_now < nu_peak * 0.96, (nu_peak, nu_now)
+
+
+def test_adam_factored_nu_rank1_exact():
+    """When g^2 is rank-1 (constant gradients are the canonical case), the
+    factored second moment is EXACTLY the full one, so factored Adam must
+    reproduce full Adam step for step."""
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((8, 6)).astype(np.float32)
+    params = {"layer": {"kernel": jnp.asarray(w)}}
+    u = rng.standard_normal(8).astype(np.float32)
+    v = rng.standard_normal(6).astype(np.float32)
+    g = jnp.asarray(np.outer(u, v))  # g^2 = outer(u^2, v^2): rank-1
+
+    tx_full = make_optimizer(0.0)
+    tx_fact = make_optimizer(0.0, factored_nu=True)
+    p_full, s_full = dict(params), tx_full.init(params)
+    p_fact, s_fact = dict(params), tx_fact.init(params)
+    for _ in range(4):
+        grads = {"layer": {"kernel": g}}
+        up_full, s_full = tx_full.update(grads, s_full, p_full)
+        up_fact, s_fact = tx_fact.update(grads, s_fact, p_fact)
+        np.testing.assert_allclose(
+            np.asarray(up_fact["layer"]["kernel"]),
+            np.asarray(up_full["layer"]["kernel"]), rtol=2e-6, atol=1e-7)
+
+
+def test_adam_factored_nu_state_shapes_and_bias_path():
+    """>=2-D params get (row, col) factored nu; 1-D biases keep the full nu
+    and must match full Adam exactly (their path is unfactored)."""
+    rng = np.random.default_rng(5)
+    params = {"conv": {"kernel": jnp.asarray(
+                  rng.standard_normal((3, 3, 4, 5)).astype(np.float32)),
+                       "bias": jnp.zeros((5,), jnp.float32)}}
+    tx = make_optimizer(0.0, factored_nu=True)
+    state = tx.init(params)
+    nu = state[1].nu  # chain: (masked-decay, adam)
+    shapes = sorted(tuple(a.shape for a in leaf) for leaf in nu)
+    assert ((3, 3, 4), (5,)) in shapes       # factored conv kernel
+    assert ((5,),) in shapes                  # full-bias nu
+
+    tx_full = make_optimizer(0.0)
+    tx_fact = tx
+    s_full = tx_full.init(params)
+    s_fact = state
+    for i in range(3):
+        g = {"conv": {"kernel": jnp.asarray(
+                 rng.standard_normal((3, 3, 4, 5)).astype(np.float32)),
+                      "bias": jnp.asarray(
+                 rng.standard_normal((5,)).astype(np.float32))}}
+        up_full, s_full = tx_full.update(g, s_full, params)
+        up_fact, s_fact = tx_fact.update(g, s_fact, params)
+        np.testing.assert_allclose(np.asarray(up_fact["conv"]["bias"]),
+                                   np.asarray(up_full["conv"]["bias"]),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_adam_factored_nu_converges_and_tracks_adam():
+    """General (non-rank-1) gradients: factored Adam minimizes a quadratic
+    and stays in the same neighborhood as full Adam."""
+    rng = np.random.default_rng(7)
+    target = jnp.asarray(rng.standard_normal((10, 8)).astype(np.float32))
+
+    def loss(p):
+        return jnp.sum((p["w"] - target) ** 2)
+
+    lr = 0.05
+    results = {}
+    for name, tx in [("full", make_optimizer(0.0)),
+                     ("fact", make_optimizer(0.0, factored_nu=True)),
+                     ("fact_bf16mu", make_optimizer(0.0, "bfloat16", True))]:
+        p = {"w": jnp.zeros((10, 8), jnp.float32)}
+        s = tx.init(p)
+        for _ in range(300):
+            g = jax.grad(loss)(p)
+            up, s = tx.update(g, s, p)
+            p = jax.tree.map(lambda a, u: a - lr * u, p, up)
+        results[name] = float(loss(p))
+    assert results["fact"] < 1e-2, results
+    assert results["fact_bf16mu"] < 5e-2, results
+    assert results["fact"] < results["full"] * 10 + 1e-3, results

@@ -85,6 +85,8 @@ def main():
                     help="donate params/opt state (the real trainer does)")
     ap.add_argument("--moment_dtype", default="float32",
                     help="Adam m/v storage dtype (float32 | bfloat16)")
+    ap.add_argument("--factored_nu", action="store_true",
+                    help="Adafactor-style factored second moment")
     ap.add_argument("--no_fold", action="store_true",
                     help="disable the width-folded VGG block 1")
     ap.add_argument("--only", default="", help="comma list: step,vgg,text")
@@ -115,7 +117,7 @@ def main():
     params = init_umpr(jax.random.PRNGKey(0), dims,
                        rng.standard_normal((5000, 50)).astype(np.float32))
     trainable, frozen = split_frozen(params)
-    tx = make_optimizer(1e-3, args.moment_dtype)
+    tx = make_optimizer(1e-3, args.moment_dtype, args.factored_nu)
     opt_state = tx.init(trainable)
     key = jax.random.PRNGKey(0)
 

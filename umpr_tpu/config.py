@@ -92,6 +92,10 @@ class Config:
                                    # below bf16's ULP): cuts optimizer HBM
                                    # traffic over VGG16's 138M params;
                                    # resume-exact.
+    adam_factored_nu = False  # Adafactor-style factored second moment for
+                              # >=2-D params (Shazeer & Stern 2018): cuts the
+                              # nu state/traffic over VGG16's 138M params from
+                              # 552 MB to ~0.3 MB. NOT torch-parity; opt-in.
     profile_dir = ""  # if set, write a jax.profiler trace of a few steps here.
     cache_dataset = True  # cache the packed dataset arrays next to the CSVs (reference: main.py:66-73).
     checkpoint_backend = "npz"  # 'npz' (path-keyed arrays, no deps) | 'orbax'

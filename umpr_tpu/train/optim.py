@@ -89,15 +89,107 @@ def _scale_by_adam_bf16_moments(b1, b2, eps):
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def make_optimizer(l2_regularization, moment_dtype="float32"):
+def _factored_shape(shape):
+    """Factor the second moment for tensors that are genuinely 2-D+ (both the
+    flattened row block and the last dim larger than 1)."""
+    rows = 1
+    for d in shape[:-1]:
+        rows *= d
+    return len(shape) >= 2 and shape[-1] > 1 and rows > 1
+
+
+def _scale_by_adam_factored_nu(b1, b2, eps, mu_dtype="float32"):
+    """Adam with an Adafactor-style FACTORED second moment for >=2-D
+    parameters (opt-in ``--adam_factored_nu``; Shazeer & Stern 2018,
+    arXiv:1804.04235).
+
+    nu is approximated per matrix as ``vhat = outer(r, c) / mean(r)`` where
+    r/c are EMAs of the row/column means of g**2 (exact whenever g**2 is
+    rank-1, e.g. any constant or outer-product gradient); conv kernels
+    [kh, kw, ci, co] factor as rows=(kh, kw, ci) x cols=(co,).  1-D params
+    (biases) keep the full nu.  The first moment and every other Adam
+    ingredient (bias correction, eps placement, the L2-added-to-gradient
+    decay applied upstream) are unchanged, so this is Adam with a low-rank
+    nu, not Adafactor (no update clipping, no relative step sizes).
+
+    Why: over VGG16's 138M params the full nu costs 552 MB of state and
+    ~1.1 GB of read+write HBM traffic per step; factored it is ~0.3 MB.
+    NOT torch-parity (a different trajectory) -- default stays full Adam.
+    Composes with --adam_moment_dtype bfloat16 (mu storage rounding,
+    resume-exact: updates are computed from the rounded mu)."""
+    import jax.numpy as jnp
+
+    mu_dtype = jnp.dtype(mu_dtype)
+
+    def init_fn(params):
+        mu = jax.tree.map(lambda p: jnp.zeros(p.shape, mu_dtype), params)
+
+        def nu_init(p):
+            if _factored_shape(p.shape):
+                return (jnp.zeros(p.shape[:-1], jnp.float32),
+                        jnp.zeros(p.shape[-1:], jnp.float32))
+            return (jnp.zeros(p.shape, jnp.float32),)
+
+        nu = tuple(nu_init(p) for p in jax.tree.leaves(params))
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        c1 = 1 - b1 ** count.astype(jnp.float32)
+        c2 = 1 - b2 ** count.astype(jnp.float32)
+
+        def mu_up(m, g):
+            return (b1 * m.astype(g.dtype) + (1 - b1) * g).astype(mu_dtype)
+
+        def nu_up(nu_leaf, g):
+            g2 = (g * g).astype(jnp.float32)
+            if len(nu_leaf) == 2:
+                row, col = nu_leaf
+                return (b2 * row + (1 - b2) * g2.mean(axis=-1),
+                        b2 * col + (1 - b2) * g2.mean(
+                            axis=tuple(range(g.ndim - 1))))
+            return (b2 * nu_leaf[0] + (1 - b2) * g2,)
+
+        def vhat(nu_leaf):
+            if len(nu_leaf) == 2:
+                row, col = nu_leaf
+                # outer(row, col) / mean(row): mean(row) == mean(col) == the
+                # EMA of mean(g^2), so the approximation is symmetric and
+                # rank-1-exact.  The guard only matters while every seen
+                # gradient was exactly zero (update is 0 regardless).
+                denom = jnp.maximum(row.mean(), jnp.float32(1e-30))
+                return row[..., None] * col / denom / c2
+            return nu_leaf[0] / c2
+
+        u_leaves, tdef = jax.tree.flatten(updates)
+        mu = jax.tree.map(mu_up, state.mu, updates)
+        nu = tuple(nu_up(nl, g) for nl, g in zip(state.nu, u_leaves))
+        out_leaves = [
+            (m.astype(g.dtype) / c1)
+            / (jnp.sqrt(vhat(nl)).astype(g.dtype) + eps)
+            for m, nl, g in zip(jax.tree.leaves(mu), nu, u_leaves)]
+        out = jax.tree.unflatten(tdef, out_leaves)
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(l2_regularization, moment_dtype="float32",
+                   factored_nu=False):
     """Gradient transform WITHOUT the lr scale (the step applies -lr)."""
     if moment_dtype not in ("float32", "bfloat16"):
         raise ValueError(
             f"adam_moment_dtype must be 'float32' or 'bfloat16', got "
             f"{moment_dtype!r}")
-    adam = (optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)  # torch defaults
-            if moment_dtype == "float32"
-            else _scale_by_adam_bf16_moments(0.9, 0.999, 1e-8))
+    if factored_nu:
+        adam = _scale_by_adam_factored_nu(0.9, 0.999, 1e-8,
+                                          mu_dtype=moment_dtype)
+    elif moment_dtype == "float32":
+        adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)  # torch defaults
+    else:
+        adam = _scale_by_adam_bf16_moments(0.9, 0.999, 1e-8)
     return optax.chain(
         optax.masked(optax.add_decayed_weights(l2_regularization), _no_bias_mask),
         adam,

@@ -94,7 +94,8 @@ class Trainer:
         self.frozen = self._place_frozen(self.frozen)
 
         self.tx = make_optimizer(config.l2_regularization,
-                                 getattr(config, "adam_moment_dtype", "float32"))
+                                 getattr(config, "adam_moment_dtype", "float32"),
+                                 getattr(config, "adam_factored_nu", False))
         self.opt_state = jax.device_put(self.tx.init(self.trainable), self.rep)
         self.train_step = make_train_step(self.dims, self.tx)
         self.eval_step = make_eval_step(self.dims)
