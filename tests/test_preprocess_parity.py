@@ -47,3 +47,43 @@ def test_csvs_byte_identical_to_reference(tmp_path):
     for split in ("train", "valid", "test"):
         a, b = ours / f"{split}.csv", refs / f"{split}.csv"
         assert filecmp.cmp(a, b, shallow=False), f"{split}.csv differs"
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not mounted")
+def test_yelp_csvs_byte_identical_to_reference(tmp_path):
+    """Yelp column mapping (user_id/business_id/text/stars, JSON lines —
+    reference data_process.py:99-100) through both preprocessors."""
+    import json
+
+    from umpr_tpu.text.preprocess import YELP_COLS
+
+    rng = random.Random(11)
+    words = ("pizza delicious service slow ambiance cozy staff friendly "
+             "overpriced portions huge dessert amazing wait").split()
+    raw = tmp_path / "yelp_reviews.json"
+    with open(raw, "w") as f:
+        for u in range(10):
+            for b in rng.sample(range(5), 3):
+                sents = [" ".join(rng.choices(words, k=rng.randint(5, 12)))
+                         for _ in range(rng.randint(1, 4))]
+                # json.dumps keeps the line parseable by the reference's bare
+                # eval() too (no true/false/null tokens in these rows)
+                f.write(json.dumps({"user_id": f"u{u}", "business_id": f"b{b}",
+                                    "text": ". ".join(sents) + ".",
+                                    "stars": rng.randint(1, 5),
+                                    "useful": rng.randint(0, 9)}) + "\n")
+        f.write(json.dumps({"user_id": "u0", "business_id": "b0",
+                            "text": "", "stars": 3, "useful": 0}) + "\n")
+
+    ours = tmp_path / "ours"
+    refs = tmp_path / "refs"
+    process_dataset(str(raw), "/nonexistent", str(ours), 0.8, YELP_COLS)
+    subprocess.run(
+        [sys.executable, "data_process.py", "--data_type", "yelp",
+         "--data_path", str(raw), "--meta_path", "/nonexistent",
+         "--save_dir", str(refs), "--train_rate", "0.8"],
+        cwd="/root/reference/data", check=True, capture_output=True)
+
+    for split in ("train", "valid", "test"):
+        a, b = ours / f"{split}.csv", refs / f"{split}.csv"
+        assert filecmp.cmp(a, b, shallow=False), f"{split}.csv differs"
