@@ -21,7 +21,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(trace_dir, B, steps, dtype, img):
+def capture(trace_dir, B, steps, dtype, img, review_only=False):
     import jax
     import jax.numpy as jnp
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -35,11 +35,12 @@ def capture(trace_dir, B, steps, dtype, img):
     from umpr_tpu.train.step import make_train_step
     from __graft_entry__ import _tiny_batch
 
-    dims = ModelDims(review_net_only=False, view_size=1,
+    dims = ModelDims(review_net_only=review_only, view_size=1,
                      use_pallas=jax.default_backend() == "tpu",
                      photo_size=img, compute_dtype=dtype)
     rng = np.random.default_rng(0)
-    batch = _tiny_batch(rng, B=B, S=20, L=20, S_ui=5, V=1, P=1, img=img)
+    batch = _tiny_batch(rng, B=B, S=20, L=20, S_ui=5, V=1, P=1, img=img,
+                        with_photos=not review_only)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     params = init_umpr(jax.random.PRNGKey(0), dims,
                        rng.standard_normal((5000, 50)).astype(np.float32))
@@ -169,10 +170,13 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--trace_dir", default="/tmp/umpr_trace")
     ap.add_argument("--parse_only", action="store_true")
+    ap.add_argument("--review_only", action="store_true",
+                    help="profile the UMPR-R (text-only) step instead")
     args = ap.parse_args()
     if not args.parse_only:
         os.makedirs(args.trace_dir, exist_ok=True)
-        capture(args.trace_dir, args.batch, args.steps, args.dtype, args.photo_size)
+        capture(args.trace_dir, args.batch, args.steps, args.dtype,
+                args.photo_size, args.review_only)
     parse(args.trace_dir, args.top)
 
 
