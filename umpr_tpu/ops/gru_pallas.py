@@ -2,10 +2,15 @@
 
 Forward design (see /opt/skills/guides/pallas_guide.md):
 
-- Input projections for the whole sequence are two large (N*L, E) @ (E, 3H)
-  MXU matmuls done by XLA outside the kernel (the backward direction's on a
-  time-flipped copy of x), then gate-interleaved into one (N, L*6H) block
-  with column layout [r_f r_b | z_f z_b | n_f n_b] per timestep.
+- Input projections for the whole sequence are ONE large (N*L, 2E) @
+  (2E, 6H) MXU matmul done by XLA outside the kernel: x is stacked with its
+  time-flipped copy on the feature axis and multiplied by a block-structured
+  weight (fwd rows feed fwd lanes, bwd rows feed bwd lanes), so the output
+  lands directly in the kernel's (N, L*6H) column layout
+  [r_f r_b | z_f z_b | n_f n_b] per timestep -- no post-matmul gate
+  interleave of 6H-wide tensors (which profiled as ~177 MB of relayout
+  traffic per UMPR-R step before this layout).  The zero blocks are free:
+  2E = 100 still fits one 128-lane MXU contraction tile.
 - BOTH directions run in the SAME time loop: the backward direction is
   expressed in reversed time (combined step tau processes original position
   L-1-tau for the bwd lanes), so the carried state is one (R, 2H) block and
@@ -55,9 +60,17 @@ def _interleave_gates(a, b, H):
          a[..., 2 * H:], b[..., 2 * H:]], axis=-1)
 
 
-def _block_diag_whh(w_f, w_b, H):
-    """(H, 3H) x2 -> (2H, 6H) block-diagonal with the interleaved layout."""
-    z = jnp.zeros((H, H), w_f.dtype)
+def _block_diag(w_f, w_b, H):
+    """(E, 3H) x2 -> (2E, 6H) block-structured with the interleaved column
+    layout: rows [0, E) feed the fwd lanes, rows [E, 2E) the bwd lanes, so
+    `concat([x_f, x_b], -1) @ _block_diag(...)` emits [r_f r_b z_f z_b n_f
+    n_b] directly.  Used for w_hh (E == H) and, since the xg-layout rework,
+    for w_ih (E = embedding dim): one stacked matmul produces xg in the
+    kernel's native layout with no big-tensor interleave copies (the zero
+    blocks cost nothing -- the contraction dim pads to the 128-lane MXU
+    tile either way at these sizes)."""
+    E = w_f.shape[0]
+    z = jnp.zeros((E, H), w_f.dtype)
     cols = []
     for g in range(3):
         f = w_f[:, g * H:(g + 1) * H]
@@ -65,6 +78,9 @@ def _block_diag_whh(w_f, w_b, H):
         cols.append(jnp.concatenate([f, z], axis=0))
         cols.append(jnp.concatenate([z, b], axis=0))
     return jnp.concatenate(cols, axis=1)
+
+
+_block_diag_whh = _block_diag  # (H, 3H) x2 -> (2H, 6H) recurrent case
 
 
 def _make_valid(lengths, tau, H, L, rows):
@@ -160,11 +176,24 @@ def _pallas_forward(params, xg, lengths, N, L, H, emit_hs):
     return outs  # (y_cat, hs_cat)
 
 
+def _stack_time(x):
+    """(N, L, E) -> (N, L, 2E): true-time lanes next to flipped-time lanes.
+    The flip touches only the (small-E) input, not the 6H-wide gate tensor
+    the old per-direction path had to interleave afterwards."""
+    return jnp.concatenate([x, x[:, ::-1]], axis=-1)
+
+
 def _build_xg(params, x, H):
-    xg_f = x @ params["fwd"]["w_ih"] + params["fwd"]["bias_ih"]
-    xg_b = x[:, ::-1] @ params["bwd"]["w_ih"] + params["bwd"]["bias_ih"]
+    """Input projections for both directions as ONE stacked matmul whose
+    output is already in the kernel's interleaved gate layout.  Replaces
+    the old two-matmul + 6-slice interleave, whose (N, L*6H) concat showed
+    up in step profiles as ~177 MB of relayout/dynamic-update-slice traffic
+    at the UMPR-R shapes (N=2560, L=20, H=64)."""
     N, L = x.shape[0], x.shape[1]
-    return _interleave_gates(xg_f, xg_b, H).reshape(N, L * 6 * H)
+    w = _block_diag(params["fwd"]["w_ih"], params["bwd"]["w_ih"], H)
+    b = _interleave_gates(params["fwd"]["bias_ih"],
+                          params["bwd"]["bias_ih"], H)
+    return (_stack_time(x) @ w + b).reshape(N, L * 6 * H)
 
 
 def _unflip(y_cat, N, L, H):
@@ -363,17 +392,23 @@ def _vjp_bwd(res, dy):
     dw_hh_b = jnp.concatenate([blk_b(g) for g in range(3)], axis=1)
     db_hh_f, db_hh_b = _deinterleave(db_blk, H)
 
-    # input-projection grads: large single MXU contractions in XLA
+    # input-projection grads: dxg stays in the interleaved layout end to end
+    # (contracted against the stacked (2E, 6H) weight); only the tiny weight
+    # and bias grads get deinterleaved, never the (N, L, 6H) tensor.  The
+    # bwd-lane columns are in combined (flipped) time, matching the flipped
+    # half of _stack_time(x).
     dxg = dxg_cat.reshape(N, L, 6 * H)
-    dxg_f, dxg_b_rev = _deinterleave(dxg, H)  # bwd half is in combined time
-    x_rev = x32[:, ::-1]
-    dx = dxg_f @ p32["fwd"]["w_ih"].T + (dxg_b_rev @ p32["bwd"]["w_ih"].T)[:, ::-1]
-    dw_ih_f = jnp.einsum("nle,nlg->eg", x32, dxg_f,
-                         preferred_element_type=jnp.float32)
-    dw_ih_b = jnp.einsum("nle,nlg->eg", x_rev, dxg_b_rev,
-                         preferred_element_type=jnp.float32)
-    db_ih_f = dxg_f.sum(axis=(0, 1), dtype=jnp.float32)
-    db_ih_b = dxg_b_rev.sum(axis=(0, 1), dtype=jnp.float32)
+    w2 = _block_diag(p32["fwd"]["w_ih"], p32["bwd"]["w_ih"], H)
+    dx2 = dxg @ w2.T                                      # (N, L, 2E)
+    dx = dx2[..., :E] + dx2[..., E:][:, ::-1]
+    dw2 = jnp.einsum("nle,nlg->eg", _stack_time(x32), dxg,
+                     preferred_element_type=jnp.float32)  # (2E, 6H)
+    dw_ih_f = jnp.concatenate(
+        [dw2[:E, 2 * g * H:(2 * g + 1) * H] for g in range(3)], axis=1)
+    dw_ih_b = jnp.concatenate(
+        [dw2[E:, (2 * g + 1) * H:(2 * g + 2) * H] for g in range(3)], axis=1)
+    db_ih_f, db_ih_b = _deinterleave(
+        dxg.sum(axis=(0, 1), dtype=jnp.float32), H)
 
     dparams = {
         "fwd": {"w_ih": dw_ih_f, "w_hh": dw_hh_f,
