@@ -52,12 +52,13 @@ STEPS = 100        # train steps per cycle
 EVAL_BATCHES = 20  # Music-small valid is ~1/10 of train; scaled to STEPS
 
 
-def make_batch(rng):
+def make_batch(rng, B=B):
     from tests.ref_oracle import random_batch
     return random_batch(rng, B=B, S=S, L=L, S_ui=S_UI, vocab=VOCAB, emb=EMB)
 
 
-def bench_tpu(batch_np):
+def bench_tpu(batch_np, B=B, compute_dtype="float32", steps=STEPS,
+              eval_batches=EVAL_BATCHES):
     """Train+eval cycle throughput at the reference cadence: STEPS train
     steps followed by an eval pass over EVAL_BATCHES validation batches
     (the reference evaluates every 500 train batches, main.py:43)."""
@@ -68,7 +69,8 @@ def bench_tpu(batch_np):
     from umpr_tpu.train.step import make_train_step, make_eval_step
 
     on_tpu = jax.default_backend() == "tpu"
-    dims = ModelDims(review_net_only=True, use_pallas=on_tpu)
+    dims = ModelDims(review_net_only=True, use_pallas=on_tpu,
+                     compute_dtype=compute_dtype)
     rng = np.random.default_rng(0)
     params = init_umpr(jax.random.PRNGKey(0), dims,
                        rng.standard_normal((VOCAB, EMB)).astype(np.float32))
@@ -89,13 +91,13 @@ def bench_tpu(batch_np):
     best = 0.0
     for _ in range(2):  # two rounds; report the best (tunnel-stutter guard)
         t0 = time.perf_counter()
-        for _ in range(STEPS):
+        for _ in range(steps):
             trainable, opt_state, loss, _ = step(trainable, frozen, opt_state,
                                                  batch, 1e-6, key)
-        for _ in range(EVAL_BATCHES):
+        for _ in range(eval_batches):
             sq, n = eval_step(trainable, frozen, batch)
         float(loss) + float(sq)  # force completion of the whole chain
-        samples = B * (STEPS + EVAL_BATCHES)
+        samples = B * (steps + eval_batches)
         best = max(best, samples / (time.perf_counter() - t0))
     return best
 
@@ -235,10 +237,27 @@ def bench_torch_cpu(batch_np, steps=3):
     return best
 
 
+REVIEW_TP_B = 512  # UMPR-R throughput mode: B=64 is latency-bound (~2.5 ms
+                   # steps); a large bf16 batch keeps the GRU/attention
+                   # kernels fed and amortizes per-dispatch host latency
+
+
 def main():
     rng = np.random.default_rng(42)
     batch_np = make_batch(rng)
     tpu_sps = bench_tpu(batch_np)
+
+    review_tp = None
+    if os.environ.get("UMPR_BENCH_SKIP_FULL") != "1":
+        try:
+            tp_sps = bench_tpu(make_batch(np.random.default_rng(42), REVIEW_TP_B),
+                               B=REVIEW_TP_B, compute_dtype="bfloat16",
+                               steps=25, eval_batches=5)
+            review_tp = {"batch": REVIEW_TP_B, "dtype": "bfloat16",
+                         "samples_per_sec": round(tp_sps, 1)}
+        except Exception as e:
+            print(f"UMPR-R throughput bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     full = full_b128 = None
     if os.environ.get("UMPR_BENCH_SKIP_FULL") != "1":
@@ -277,6 +296,7 @@ def main():
         "value": round(tpu_sps, 1),
         "unit": "samples/sec",
         "vs_baseline": round(tpu_sps / cpu_sps, 2) if cpu_sps == cpu_sps else None,
+        "review_throughput_mode": review_tp,
         "full_umpr": full,
         "full_umpr_throughput_mode": full_b128,
     }))
