@@ -223,3 +223,33 @@ def test_factored_nu_fit_and_resume(corpus_dir, tmp_path):
     assert trainer2.start_epoch == 1
     trainer2.fit(train_ds, valid_ds, model_dir)
     assert trainer2.batch_counter > trainer.batch_counter
+
+
+def test_grad_accum_trainer_matches_single(corpus_dir, tmp_path):
+    """--grad_accum_steps 2 through the Trainer tracks the single-step run
+    (identical up to fp summation order per update; tolerance covers the
+    drift over an epoch of updates)."""
+    import jax
+
+    def run(k, seed_dir):
+        cfg = Config(argv=["--device", "cpu", "--review_net_only", "True",
+                           "--batch_size", "8", "--train_epochs", "1",
+                           "--eval_every", "8", "--learning_rate", "0.01",
+                           "--min_sent_count", "1", "--seed", "2",
+                           "--cache_dataset", "False",
+                           "--grad_accum_steps", str(k)])
+        logger = get_logger(logger_name=f"ga-{k}")
+        w2v = Word2vec(str(corpus_dir / "glove.txt"))
+        mk = lambda split: build_dataset(str(corpus_dir / f"{split}.csv"),
+                                         str(corpus_dir / "photos.json"),
+                                         str(corpus_dir / "photos"), w2v, cfg)
+        trainer = Trainer(cfg, logger, w2v)
+        trainer.fit(mk("train"), mk("valid"), str(tmp_path / seed_dir))
+        return trainer
+
+    t1 = run(1, "ga1")
+    t2 = run(2, "ga2")
+    assert t1.batch_counter == t2.batch_counter
+    for a, b in zip(jax.tree.leaves(t1.trainable), jax.tree.leaves(t2.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

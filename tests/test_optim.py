@@ -287,3 +287,63 @@ def test_adam_factored_nu_converges_and_tracks_adam():
     assert results["fact"] < 1e-2, results
     assert results["fact_bf16mu"] < 5e-2, results
     assert results["fact"] < results["full"] * 10 + 1e-3, results
+
+
+def test_grad_accum_equals_single_step():
+    """make_train_step_accum(k) must produce the same update and loss as the
+    single full-batch step (fp-summation-order tolerance), for both the
+    review-only and the full multi-modal model, including dead padded
+    samples and an entirely-dead micro-batch (the loader's end-of-epoch
+    padding can land that way)."""
+    from tests.ref_oracle import random_batch
+    from umpr_tpu.train.step import make_train_step, make_train_step_accum
+
+    for review_only, kwargs in ((True, {}),
+                                (False, dict(with_photos=True, img=32))):
+        rng = np.random.default_rng(11)
+        batch = random_batch(rng, B=8, S=5, L=10, S_ui=2, **kwargs)
+        batch["sample_mask"][-3:] = 0.0  # last k=4 micro-batch fully dead
+        dims = ModelDims(review_net_only=review_only, view_size=1,
+                         photo_size=32)
+        emb = np.random.default_rng(0).standard_normal((40, 16)).astype(np.float32)
+        params = init_umpr(jax.random.PRNGKey(2), dims, emb)
+        trainable, frozen = split_frozen(params)
+        tx = make_optimizer(1e-3)
+        dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        results = []
+        for k in (1, 4):
+            step = (make_train_step(dims, tx, donate=False) if k == 1 else
+                    make_train_step_accum(dims, k, tx, donate=False))
+            # dropout_rng=None: dropout off on both paths (the accum path
+            # draws per-micro-batch masks when a key is given, so exact
+            # comparison requires it off)
+            t, _, loss, aux = step(trainable, frozen, tx.init(trainable),
+                                   dev_batch, 1e-3, None)
+            results.append((t, float(loss), float(aux["n_real"])))
+
+        (t1, l1, n1), (t4, l4, n4) = results
+        assert n1 == n4 == 5.0
+        assert abs(l1 - l4) <= 1e-5 * max(1.0, abs(l1)), (l1, l4)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6), t1, t4)
+
+
+def test_grad_accum_dropout_runs():
+    """With a dropout key the accum path draws per-micro-batch masks; it
+    must run and stay finite (no equality claim vs single-step)."""
+    from tests.ref_oracle import random_batch
+    from umpr_tpu.train.step import make_train_step_accum
+
+    rng = np.random.default_rng(3)
+    batch = random_batch(rng, B=4, S=4, L=8, S_ui=2, with_photos=True, img=32)
+    dims = ModelDims(review_net_only=False, view_size=1, photo_size=32)
+    emb = rng.standard_normal((40, 16)).astype(np.float32)
+    params = init_umpr(jax.random.PRNGKey(1), dims, emb)
+    trainable, frozen = split_frozen(params)
+    tx = make_optimizer(1e-3)
+    step = make_train_step_accum(dims, 2, tx, donate=False)
+    _, _, loss, _ = step(trainable, frozen, tx.init(trainable),
+                         {k: jnp.asarray(v) for k, v in batch.items()},
+                         1e-3, jax.random.PRNGKey(9))
+    assert np.isfinite(float(loss))

@@ -68,6 +68,12 @@ class Config:
     steps_per_dispatch = 1  # train steps per jit dispatch (lax.scan over stacked
                             # batches); amortizes per-dispatch host latency on
                             # remote-attached TPUs. Must divide eval_every.
+    grad_accum_steps = 1  # micro-batches per optimizer update (gradient
+                          # accumulation inside one jit via lax.scan): peak
+                          # activation memory drops to one micro-batch's,
+                          # enabling large effective batches on fixed HBM.
+                          # Must divide batch_size; update equals the
+                          # single-step one up to fp summation order.
     data_workers = 0  # image-decode worker threads (0 = synchronous).
     photo_cache_mb = 2048  # decoded-photo LRU cache (0 disables); item photos
                            # recur in every sample of that item, so the cache
@@ -131,6 +137,11 @@ class Config:
         assert self.checkpoint_backend in ("npz", "orbax")
         assert self.photo_size % 32 == 0 and self.photo_size > 0, (
             '"photo_size" must be a positive multiple of 32!')
+        assert self.grad_accum_steps >= 1 and \
+            self.batch_size % self.grad_accum_steps == 0, (
+            '"grad_accum_steps" must divide batch_size!')
+        assert self.grad_accum_steps == 1 or self.steps_per_dispatch == 1, (
+            "grad_accum_steps and steps_per_dispatch are mutually exclusive!")
 
     @classmethod
     def _attributes(cls):

@@ -113,11 +113,19 @@ def umpr_forward(params, batch, dims: ModelDims, train=False, dropout_rng=None):
     S_ui = ui_tok.shape[1]
 
     # Runtime batch maxima -> exists masks (user/item share theirs, as the
-    # reference pads them jointly: dataset.py:163-170).
-    Sb = masking.batch_max_count(batch["u_counts"], batch["i_counts"])
-    Lb = masking.batch_max_length(u_len, i_len)
+    # reference pads them jointly: dataset.py:163-170).  The gradient-
+    # accumulation step precomputes them over the FULL batch and carries
+    # them into each micro-batch ("pad_maxima": (Sb, Lb, Sb_ui, Lb_ui)) so
+    # accumulation reproduces the full batch's padding numerics exactly.
+    pm = batch.get("pad_maxima")
+    if pm is None:
+        Sb = masking.batch_max_count(batch["u_counts"], batch["i_counts"])
+        Lb = masking.batch_max_length(u_len, i_len)
+        Sb_ui, Lb_ui = batch["ui_counts"].max(), ui_len.max()
+    else:
+        Sb, Lb, Sb_ui, Lb_ui = pm
     exists = masking.exists_mask(Sb, Lb, S, L)
-    ui_exists = masking.exists_mask(batch["ui_counts"].max(), ui_len.max(), S_ui, L)
+    ui_exists = masking.exists_mask(Sb_ui, Lb_ui, S_ui, L)
 
     dtype = jnp.dtype(dims.compute_dtype)
     if dtype != jnp.float32:

@@ -77,6 +77,74 @@ def make_multi_train_step(dims, tx, donate=True):
     return jax.jit(multi_step, donate_argnums=(0, 2) if donate else ())
 
 
+def make_train_step_accum(dims, k, tx, donate=True):
+    """One optimizer update from k sequential micro-batches (gradient
+    accumulation): the batch's leading dim is split into k slices and a
+    lax.scan accumulates their gradients before a single tx.update.  Peak
+    activation memory drops to one micro-batch's footprint (the VGG16
+    path's 224^2 activations dominate), enabling large effective batches
+    on a fixed HBM budget.
+
+    Equivalent to the single full-batch step up to floating-point
+    summation order (CI-verified at 1e-5): the loss is additive over
+    samples -- the MSE term is re-assembled as
+    sq_sum_micro / n_total (n_total = the FULL batch's real-sample count),
+    and the auxiliary visual loss (reference model.py:276) sums over the
+    batch inside its (V, B) @ (B, V) contraction, so per-micro-batch
+    loss_v terms add up to the full-batch value.  Dropout draws one
+    subkey per micro-batch (the one intentional divergence from the
+    single-step path; a full batch draws a single mask)."""
+
+    def micro_loss(trainable, frozen, batch, dropout_rng, n_total):
+        params = merge_params(trainable, frozen)
+        pred, _, aux = umpr_forward(params, batch, dims, train=True,
+                                    dropout_rng=dropout_rng)
+        mask = batch["sample_mask"]
+        sq = jnp.sum(mask * (pred - batch["ratings"]) ** 2)
+        loss = sq / n_total
+        if not dims.review_net_only:
+            loss = loss + dims.loss_v_rate * aux["loss_v"]
+        return loss, aux
+
+    def train_step(trainable, frozen, opt_state, batch, lr, dropout_rng):
+        B = batch["sample_mask"].shape[0]
+        assert B % k == 0, f"batch {B} not divisible by grad_accum_steps {k}"
+        n_total = jnp.maximum(jnp.sum(batch["sample_mask"]), 1.0)
+        # Full-batch padding maxima, broadcast to every micro-batch: the
+        # model's numerics follow the reference's per-batch dynamic padding
+        # (umpr_tpu/ops/masking.py), so each micro-batch must see the FULL
+        # batch's maxima or accumulation would diverge from the single step.
+        from umpr_tpu.ops import masking
+        pad_maxima = (
+            masking.batch_max_count(batch["u_counts"], batch["i_counts"]),
+            masking.batch_max_length(batch["u_lengths"], batch["i_lengths"]),
+            batch["ui_counts"].max(), batch["ui_lengths"].max())
+        micro = jax.tree.map(
+            lambda a: a.reshape((k, B // k) + a.shape[1:]), batch)
+        # dropout_rng=None (dropout off, like the single-step path) is a
+        # trace-time property; scan still needs an array leaf to carry.
+        has_rng = dropout_rng is not None
+        rngs = (jax.random.split(dropout_rng, k) if has_rng
+                else jnp.zeros(k, jnp.int32))
+
+        def body(grads, inp):
+            mb, rng = inp
+            mb = dict(mb, pad_maxima=pad_maxima)
+            (loss, _), g = jax.value_and_grad(micro_loss, has_aux=True)(
+                trainable, frozen, mb, rng if has_rng else None, n_total)
+            return jax.tree.map(jnp.add, grads, g), loss
+
+        zeros = jax.tree.map(jnp.zeros_like, trainable)
+        grads, losses = jax.lax.scan(body, zeros, (micro, rngs))
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        trainable = optax.apply_updates(trainable, updates)
+        aux = {"n_real": jnp.sum(batch["sample_mask"])}
+        return trainable, opt_state, jnp.sum(losses), aux
+
+    return jax.jit(train_step, donate_argnums=(0, 2) if donate else ())
+
+
 def make_eval_step(dims):
     def eval_step(trainable, frozen, batch):
         params = merge_params(trainable, frozen)

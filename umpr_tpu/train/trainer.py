@@ -25,7 +25,8 @@ from umpr_tpu.train import checkpoint as ckpt
 from umpr_tpu.train.optim import (make_optimizer, split_frozen, merge_params,
                                   lr_at_epoch)
 from umpr_tpu.train.step import (make_train_step, make_multi_train_step,
-                                 make_eval_step, evaluate_mse)
+                                 make_train_step_accum, make_eval_step,
+                                 evaluate_mse)
 
 
 class Trainer:
@@ -97,7 +98,12 @@ class Trainer:
                                  getattr(config, "adam_moment_dtype", "float32"),
                                  getattr(config, "adam_factored_nu", False))
         self.opt_state = jax.device_put(self.tx.init(self.trainable), self.rep)
-        self.train_step = make_train_step(self.dims, self.tx)
+        k_accum = max(1, getattr(config, "grad_accum_steps", 1))
+        if k_accum > 1:
+            assert config.batch_size % k_accum == 0
+            self.train_step = make_train_step_accum(self.dims, k_accum, self.tx)
+        else:
+            self.train_step = make_train_step(self.dims, self.tx)
         self.eval_step = make_eval_step(self.dims)
         self.k_dispatch = max(1, config.steps_per_dispatch)
         if self.k_dispatch > 1:
