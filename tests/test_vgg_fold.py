@@ -35,3 +35,38 @@ def test_fold_matches_unfolded_values_and_grads(img):
                                    rtol=2e-4, atol=2e-5)
 
 
+
+
+def test_remat_vgg_matches_values_and_grads():
+    """remat_vgg (jax.checkpoint per conv block) must be numerically
+    invisible: same loss and same gradients as the plain forward, folded
+    and unfolded."""
+    import jax
+    import jax.numpy as jnp
+    from tests.ref_oracle import random_batch
+    from umpr_tpu.models.umpr import ModelDims, init_umpr, umpr_forward
+    from umpr_tpu.train.optim import split_frozen
+
+    rng = np.random.default_rng(6)
+    batch = random_batch(rng, B=2, S=3, L=8, S_ui=2, with_photos=True, img=32)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    emb = rng.standard_normal((40, 16)).astype(np.float32)
+
+    results = []
+    for remat in (False, True):
+        dims = ModelDims(review_net_only=False, view_size=1, photo_size=32,
+                         remat_vgg=remat)
+        params = init_umpr(jax.random.PRNGKey(3), dims, emb)
+        trainable, frozen = split_frozen(params)
+
+        def loss_fn(t):
+            _, loss, _ = umpr_forward({**t, **frozen}, batch, dims, train=True)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        results.append((float(loss), grads))
+
+    (l0, g0), (l1, g1) = results
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7), g0, g1)

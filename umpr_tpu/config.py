@@ -93,6 +93,11 @@ class Config:
                       # of 32 (VGG16's five 2x2 pools).
     vgg_fold_w = True  # width-folded VGG block 1 (identical math; fills the
                        # 128-lane TPU tiles that block 1's C=64 half-wastes).
+    remat_vgg = False  # rematerialize VGG conv blocks in the backward
+                       # (jax.checkpoint): saves only post-pool block outputs,
+                       # trading ~1 extra forward's conv FLOPs for most of the
+                       # activation HBM -- combine with grad_accum_steps /
+                       # larger batch_size on tight HBM budgets.
     adam_moment_dtype = "float32"  # 'bfloat16' stores Adam m rounded (f32
                                    # math; v stays f32 -- its EMA change is
                                    # below bf16's ULP): cuts optimizer HBM

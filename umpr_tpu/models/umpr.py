@@ -49,6 +49,9 @@ class ModelDims:
                                     # params stay f32 (mixed precision)
     vgg_fold_w: bool = True  # width-folded VGG block 1 (identical math;
                              # fills the 128-lane tiles that C=64 half-wastes)
+    remat_vgg: bool = False  # jax.checkpoint each VGG conv block: save only
+                             # post-pool block outputs for the backward,
+                             # trading recompute FLOPs for activation HBM
     n_data_devices: int = 1  # devices the batch is sharded over ('dp' mesh
                              # axis).  The fold's measured win/loss crossover
                              # is PER-DEVICE rows (<=64), but under GSPMD jit
@@ -71,6 +74,7 @@ class ModelDims:
             use_pallas=config.use_pallas if use_pallas is None else use_pallas,
             photo_size=getattr(config, "photo_size", 224),
             vgg_fold_w=getattr(config, "vgg_fold_w", True),
+            remat_vgg=getattr(config, "remat_vgg", False),
         )
 
 
@@ -158,7 +162,8 @@ def umpr_forward(params, batch, dims: ModelDims, train=False, dropout_rng=None):
         exists, ui_exists, dims.threshold, dims.use_pallas)
     pos_match, neg_match, final_pos, final_neg = visual_net(
         params["visual_net"], batch["photos"], c_u, c_i, train, dropout_rng,
-        fold_w=dims.vgg_fold_w, fold_rows=64 * dims.n_data_devices)
+        fold_w=dims.vgg_fold_w, fold_rows=64 * dims.n_data_devices,
+        remat=dims.remat_vgg)
 
     fused = jnp.concatenate([rn, final_pos, final_neg], axis=-1)
     prediction = jax.nn.relu(linear(params["linear_fusion"], fused))[:, 0]

@@ -183,40 +183,30 @@ def _maxpool2x2_folded(x):
     return _phase_max(x[..., :C], x[..., C:])
 
 
-def vgg16(params, images, train=False, dropout_rng=None, fold_w=True,
-          fold_rows=64):
-    """images: (N, 224, 224, 3) float in [0,1] -> (N, 1000) logits.
-
-    Dropout (p=0.5) is active in train mode exactly as torchvision's
-    classifier does during reference training.  fold_w enables the
-    width-folded block-1 layout (identical math, see _fold_kernel);
-    fold_rows is the global-row gate threshold (64 x data-parallel device
-    count: the measured crossover is per-DEVICE rows, but jit traces the
-    global shape).
-    """
-    x = images
-    conv_idx = 0
-    # Measured crossover (BENCH_DETAILS.md): folding wins at VGG batch
-    # N<=64 per device (B=64/V=1: 63.0 -> 56.5 ms full step) but loses by
-    # N=128 (97.6 -> 105.8 ms) -- with more rows XLA already tiles the C=64
-    # convs well and the folded kernels' 2x nominal MACs turn into real MXU
-    # time.
-    folded = fold_w and x.shape[2] % 2 == 0 and x.shape[0] <= fold_rows
-    if folded:
-        x = _fold_w(x)
+def _vgg_blocks():
+    """VGG16_CFG split at its pools: each block = some convs + one 'M'."""
+    blocks, cur = [], []
     for v in VGG16_CFG:
+        cur.append(v)
         if v == "M":
-            if folded:
-                x = _maxpool2x2_folded(x)
-                folded = False
-            else:
-                x = _maxpool2x2(x)
+            blocks.append(tuple(cur))
+            cur = []
+    assert not cur, "VGG16_CFG must end in a pool"
+    return tuple(blocks)
+
+
+def _vgg_block(x, bparams, cfg, folded):
+    """One conv block.  `folded` (static) = x arrives W-folded; the block's
+    closing pool consumes the fold (VGG16_CFG always pools before the first
+    >64-channel conv, so folded convs are always 128-wide, 2C <= 128)."""
+    ci = 0
+    for v in cfg:
+        if v == "M":
+            x = _maxpool2x2_folded(x) if folded else _maxpool2x2(x)
+            folded = False
             continue
-        p = params["features"][conv_idx]
-        conv_idx += 1
-        # VGG16_CFG always pools ('M') before the first >64-channel conv, so
-        # `folded` never survives past block 1 and folded convs are always
-        # 128-wide (2C <= 128).
+        p = bparams[ci]
+        ci += 1
         assert not (folded and v > 64), "fold must not reach >64-channel convs"
         if folded:
             x = jax.lax.conv_general_dilated(
@@ -229,6 +219,43 @@ def vgg16(params, images, train=False, dropout_rng=None, fold_w=True,
             x, p["kernel"], window_strides=(1, 1), padding=[(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = _bias_relu(x, p["bias"])
+    return x
+
+
+def vgg16(params, images, train=False, dropout_rng=None, fold_w=True,
+          fold_rows=64, remat=False):
+    """images: (N, 224, 224, 3) float in [0,1] -> (N, 1000) logits.
+
+    Dropout (p=0.5) is active in train mode exactly as torchvision's
+    classifier does during reference training.  fold_w enables the
+    width-folded block-1 layout (identical math, see _fold_kernel);
+    fold_rows is the global-row gate threshold (64 x data-parallel device
+    count: the measured crossover is per-DEVICE rows, but jit traces the
+    global shape).  remat wraps each conv block in jax.checkpoint: only the
+    post-pool block outputs (each 4x smaller than the block's interior) are
+    saved for the backward, trading ~1 extra forward's conv FLOPs for the
+    bulk of the activation footprint -- the standard TPU HBM/FLOPs trade
+    for fitting larger per-chip batches.
+    """
+    x = images
+    conv_idx = 0
+    # Measured crossover (BENCH_DETAILS.md): folding wins at VGG batch
+    # N<=64 per device (B=64/V=1: 63.0 -> 56.5 ms full step) but loses by
+    # N=128 (97.6 -> 105.8 ms) -- with more rows XLA already tiles the C=64
+    # convs well and the folded kernels' 2x nominal MACs turn into real MXU
+    # time.
+    folded = fold_w and x.shape[2] % 2 == 0 and x.shape[0] <= fold_rows
+    if folded:
+        x = _fold_w(x)
+    for cfg in _vgg_blocks():
+        n_convs = sum(1 for v in cfg if v != "M")
+        bparams = params["features"][conv_idx:conv_idx + n_convs]
+        conv_idx += n_convs
+        block = _vgg_block
+        if remat:
+            block = jax.checkpoint(_vgg_block, static_argnums=(2, 3))
+        x = block(x, bparams, cfg, folded)
+        folded = False
     # (N, 7, 7, 512) -> flatten in NCHW order for torch-weight compatibility
     n = x.shape[0]
     x = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, -1)
@@ -255,7 +282,7 @@ def init_visual_net(key, view_size, vgg_out=VGG_OUT, img_size=224):
 
 
 def visual_net(p, images_u8, c_u, c_i, train=False, dropout_rng=None,
-               fold_w=True, fold_rows=64):
+               fold_w=True, fold_rows=64, remat=False):
     """images_u8: (B, V, P, H, W, 3) uint8 -> matching scores (eq. 10-11).
 
     Reference: model.py:212-229.  Returns pos_match, neg_match, final_pos,
@@ -266,7 +293,7 @@ def visual_net(p, images_u8, c_u, c_i, train=False, dropout_rng=None,
     images = images_u8.reshape((B * V * P,) + images_u8.shape[3:])
     images = images.astype(compute_dtype) / 255.0  # on-device /255, NO mean/std norm
     img_repr = vgg16(p["vgg16"], images, train, dropout_rng, fold_w=fold_w,
-                     fold_rows=fold_rows)
+                     fold_rows=fold_rows, remat=remat)
     img_repr = img_repr.reshape(B, V, P, -1).mean(axis=2)  # eq. 10
 
     img_emb = linear(p["linear"], img_repr)[..., 0]          # (B, V)
