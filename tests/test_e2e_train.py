@@ -253,3 +253,75 @@ def test_grad_accum_trainer_matches_single(corpus_dir, tmp_path):
     for a, b in zip(jax.tree.leaves(t1.trainable), jax.tree.leaves(t2.trainable)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_serve_http_end_to_end(corpus_dir, tmp_path):
+    """--server mode: POST /predict returns the same predictions as the
+    one-shot CSV pass; unscorable rows come back null; /health responds."""
+    import json
+    import threading
+    import urllib.request
+    import pandas as pd
+    from umpr_tpu import serve
+    from umpr_tpu.serve import Predictor, make_http_server
+
+    cfg_args = ["--device", "cpu", "--review_net_only", "True",
+                "--batch_size", "8", "--train_epochs", "1",
+                "--eval_every", "4", "--learning_rate", "0.01",
+                "--min_sent_count", "1", "--seed", "2",
+                "--cache_dataset", "False",
+                "--data_dir", str(corpus_dir),
+                "--word2vec_file", str(corpus_dir / "glove.txt")]
+    cfg = Config(argv=cfg_args)
+    logger = get_logger(logger_name="serve-http")
+    w2v = Word2vec(str(corpus_dir / "glove.txt"))
+    mk = lambda split: build_dataset(str(corpus_dir / f"{split}.csv"),
+                                     str(corpus_dir / "photos.json"),
+                                     str(corpus_dir / "photos"), w2v, cfg)
+    model_dir = str(tmp_path / "m")
+    Trainer(cfg, logger, w2v).fit(mk("train"), mk("valid"), model_dir)
+
+    # baseline: one-shot CSV pass over the same rows
+    pairs = pd.read_csv(corpus_dir / "test.csv").head(12)
+    pairs_path = str(tmp_path / "pairs.csv")
+    pairs.to_csv(pairs_path, index=False)
+    out_path = str(tmp_path / "preds.csv")
+    serve.main(["--input", pairs_path, "--output", out_path,
+                "--model_path", model_dir] + cfg_args)
+    cli_preds = pd.read_csv(out_path)["prediction"]
+
+    cfg2 = Config(argv=cfg_args + ["--model_path", model_dir])
+    server = make_http_server(Predictor(cfg2, w2v, model_dir), cfg2, w2v,
+                              port=0)  # ephemeral port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        health = json.load(urllib.request.urlopen(f"{base}/health", timeout=30))
+        assert health == {"status": "ok"}
+
+        rows = pairs.drop(columns=["rating"]).to_dict(orient="records")
+        req = urllib.request.Request(
+            f"{base}/predict", data=json.dumps({"rows": rows}).encode(),
+            headers={"Content-Type": "application/json"})
+        resp = json.load(urllib.request.urlopen(req, timeout=300))
+        got = resp["predictions"]
+        assert len(got) == len(pairs)
+        for http_p, cli_p in zip(got, cli_preds):
+            if http_p is None:
+                assert np.isnan(cli_p)
+            else:
+                np.testing.assert_allclose(http_p, cli_p, rtol=1e-5, atol=1e-6)
+
+        # malformed request -> 400, not a dead server
+        bad = urllib.request.Request(
+            f"{base}/predict", data=b'{"rows": [{"userID": "u"}]}',
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()

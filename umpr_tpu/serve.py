@@ -16,6 +16,19 @@ userID, itemID, prediction.  Rows dropped by the reference's sample filters
 (insufficient history / missing photos, see umpr_tpu/data/dataset.py) are
 emitted with an empty prediction -- the reference model cannot score them
 either.
+
+Online mode (--server --port N) runs a JSON-over-HTTP batch scorer on the
+same Predictor instead of a one-shot CSV pass:
+
+    POST /predict  {"rows": [{"userID": ..., "itemID": ..., "review": ...,
+                              ("rating": ...)}, ...]}
+      -> {"predictions": [float | null, ...]}   (null = unscorable row)
+    GET /health    -> {"status": "ok"}
+
+Requests follow the CSV semantics: histories are built from the rows of
+the request itself (the reference's Dataset does the same for test.csv,
+reference main.py:90), so a request should carry the user's/item's review
+context alongside the pair being scored.
 """
 
 from __future__ import annotations
@@ -83,16 +96,94 @@ class Predictor:
         return out, np.asarray(dataset.source_rows)
 
 
+def make_http_server(predictor, config, word2vec, port, host="127.0.0.1"):
+    """JSON-over-HTTP batch scorer around a Predictor.  Returns the (not yet
+    serving) ThreadingHTTPServer; call .serve_forever() (the CLI does) or
+    drive it from a thread (tests do).  Request building + prediction are
+    serialized under one lock -- the device is the bottleneck anyway, and it
+    keeps per-request dataset builds deterministic."""
+    import json
+    import tempfile
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    photo_json = os.path.join(config.data_dir, "photos.json")
+    photo_dir = os.path.join(config.data_dir, "photos")
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass  # quiet: the application logger owns stdout
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                return self._json(200, {"status": "ok"})
+            return self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                return self._json(404, {"error": "unknown path"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                df = pd.DataFrame(req["rows"])
+                for col in ("userID", "itemID", "review"):
+                    if col not in df.columns:
+                        raise ValueError(f"rows are missing column {col!r}")
+                if "rating" not in df.columns:
+                    df["rating"] = 0.0
+            except Exception as e:
+                return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            try:
+                with lock, tempfile.TemporaryDirectory() as td:
+                    csv_path = os.path.join(td, "rows.csv")
+                    df.to_csv(csv_path, index=False)
+                    ds = build_dataset(csv_path, photo_json, photo_dir,
+                                       word2vec, config)
+                    preds, rows = predictor.predict_dataset(ds)
+                out = [None] * len(df)
+                for p, r in zip(preds.tolist(), rows.tolist()):
+                    out[r] = p
+                return self._json(200, {"predictions": out})
+            except Exception as e:
+                return self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(add_help=False)
-    parser.add_argument("--input", required=True, help="CSV of pairs to score")
+    parser.add_argument("--input", default=None, help="CSV of pairs to score")
     parser.add_argument("--output", default="predictions.csv")
+    parser.add_argument("--server", action="store_true",
+                        help="serve POST /predict over HTTP instead of a "
+                             "one-shot CSV pass")
+    parser.add_argument("--port", type=int, default=8500)
+    parser.add_argument("--host", default="127.0.0.1")
     args, rest = parser.parse_known_args(argv)
     config = Config(rest)
     assert config.model_path, "--model_path is required for serving"
     if config.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    if args.server:
+        w2v = Word2vec(config.word2vec_file)
+        server = make_http_server(Predictor(config, w2v, config.model_path),
+                                  config, w2v, args.port, args.host)
+        print(f"Serving on http://{args.host}:{server.server_address[1]} "
+              f"(POST /predict, GET /health)")
+        server.serve_forever()
+        return
+
+    assert args.input, "--input is required (or pass --server)"
     df = pd.read_csv(args.input)
     csv_path = args.input
     if "rating" not in df.columns:
