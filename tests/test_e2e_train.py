@@ -325,3 +325,35 @@ def test_serve_http_end_to_end(corpus_dir, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_metrics_jsonl(corpus_dir, tmp_path):
+    """--metrics_jsonl appends parseable eval/epoch/test records."""
+    import json
+
+    metrics_path = str(tmp_path / "metrics.jsonl")
+    cfg = Config(argv=["--device", "cpu", "--review_net_only", "True",
+                       "--batch_size", "8", "--train_epochs", "1",
+                       "--eval_every", "4", "--learning_rate", "0.01",
+                       "--min_sent_count", "1", "--seed", "2",
+                       "--cache_dataset", "False",
+                       "--metrics_jsonl", metrics_path])
+    logger = get_logger(logger_name="metrics-e2e")
+    w2v = Word2vec(str(corpus_dir / "glove.txt"))
+    mk = lambda split: build_dataset(str(corpus_dir / f"{split}.csv"),
+                                     str(corpus_dir / "photos.json"),
+                                     str(corpus_dir / "photos"), w2v, cfg)
+    model_dir = str(tmp_path / "m")
+    trainer = Trainer(cfg, logger, w2v)
+    trainer.fit(mk("train"), mk("valid"), model_dir)
+    trainer.test(mk("valid"), model_dir)
+
+    records = [json.loads(l) for l in open(metrics_path)]
+    events = [r["event"] for r in records]
+    assert events.count("epoch") == 1
+    assert events.count("test") == 1
+    assert events.count("eval") >= 2  # initial + at least one cadence point
+    ev = [r for r in records if r["event"] == "eval"][-1]
+    assert np.isfinite(ev["valid_mse"]) and np.isfinite(ev["train_loss"])
+    assert ev["lr"] > 0 and ev["batch"] > 0
+    assert np.isfinite([r for r in records if r["event"] == "test"][0]["test_mse"])

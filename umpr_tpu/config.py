@@ -108,6 +108,9 @@ class Config:
                               # nu state/traffic over VGG16's 138M params from
                               # 552 MB to ~0.3 MB. NOT torch-parity; opt-in.
     profile_dir = ""  # if set, write a jax.profiler trace of a few steps here.
+    metrics_jsonl = ""  # if set, append machine-readable run metrics (one
+                        # JSON object per line: eval points, epoch summaries,
+                        # test results) to this file; primary process only.
     cache_dataset = True  # cache the packed dataset arrays next to the CSVs (reference: main.py:66-73).
     checkpoint_backend = "npz"  # 'npz' (path-keyed arrays, no deps) | 'orbax'
                                 # (standard JAX checkpoint library; interop with

@@ -234,6 +234,21 @@ class Trainer:
                             self._progress(self._device_batches(loader),
                                            "Evaluate", len(loader)))
 
+    def _metric(self, event, **kv):
+        """Append one JSON metrics line (--metrics_jsonl; primary only).
+        The log-line surface matches the reference; this is the
+        machine-readable channel for dashboards / run comparisons."""
+        path = getattr(self.config, "metrics_jsonl", "")
+        if not path or not multihost.is_primary():
+            return
+        import json
+        kv = {"event": event, "ts": round(time.time(), 3), **kv}
+        try:
+            with open(path, "a") as f:
+                f.write(json.dumps(kv) + "\n")
+        except OSError as e:
+            self.logger.info(f"metrics_jsonl write failed: {e}")
+
     # ------------------------------------------------------------------
     def fit(self, train_data, valid_data, model_path):
         cfg, logger = self.config, self.logger
@@ -241,6 +256,8 @@ class Trainer:
         valid_loader = self._loader(valid_data)
         valid_mse = self._evaluate(valid_loader)
         logger.info(f"Initial validation mse is {valid_mse:.6f}")
+        self._metric("eval", epoch=self.start_epoch, batch=self.batch_counter,
+                     valid_mse=valid_mse)
         start_time = time.perf_counter()
 
         profiled = False
@@ -267,9 +284,14 @@ class Trainer:
                 # remainders can misalign the counter from multiples of k
                 if self.batch_counter // cfg.eval_every > before // cfg.eval_every:
                     valid_mse = self._evaluate(valid_loader)
+                    train_loss = float(total_loss) / float(total_samples)
                     logger.info(f"\rEpoch {epoch:2d}; batch {self.batch_counter:5d}; "
-                                f"train loss {float(total_loss) / float(total_samples):.6f}; "
+                                f"train loss {train_loss:.6f}; "
                                 f"valid mse {valid_mse:.6f}")
+                    self._metric("eval", epoch=epoch, batch=self.batch_counter,
+                                 train_loss=train_loss, valid_mse=valid_mse,
+                                 lr=lr, elapsed_s=round(
+                                     time.perf_counter() - start_time, 3))
                     if self.best_loss > valid_mse:
                         if multihost.is_primary():  # one writer per run
                             ckpt.save_best(model_path, self._checkpoint_params(),
@@ -323,6 +345,9 @@ class Trainer:
 
             logger.info(f"Epoch {epoch:3d} done; train loss "
                         f"{float(total_loss) / max(float(total_samples), 1.0):.6f}")
+            self._metric("epoch", epoch=epoch, batch=self.batch_counter,
+                         train_loss=float(total_loss) / max(float(total_samples), 1.0),
+                         lr=lr, elapsed_s=round(time.perf_counter() - start_time, 3))
             if multihost.is_primary():
                 ckpt.save_last(model_path, self.trainable, self.opt_state,
                                backend=cfg.checkpoint_backend,
@@ -358,4 +383,5 @@ class Trainer:
         mse = evaluate_mse(self.eval_step, trainable, frozen,
                            self._device_batches(loader))
         logger.info(f"Test end, test mse is {mse:.6f}")
+        self._metric("test", test_mse=mse)
         return mse
