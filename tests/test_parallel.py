@@ -102,3 +102,39 @@ def test_2d_mesh_shape_batch_on_dp():
             trainable, frozen, opt_state, batch, 1e-3, jax.random.PRNGKey(i))
         losses.append(float(loss))
     np.testing.assert_allclose(losses, losses_1, rtol=1e-5, atol=1e-6)
+
+
+def test_grad_accum_on_8dev_mesh():
+    """Gradient accumulation under a dp-sharded batch: the (B,) -> (k, B/k)
+    reshape must compile and the update must match the 1-device accumulated
+    run (GSPMD reshards the micro axis; values are mesh-independent)."""
+    from umpr_tpu.train.step import make_train_step_accum
+    from umpr_tpu.parallel.mesh import make_mesh, replicated, batch_sharded
+
+    def run(devices):
+        mesh = make_mesh(devices)
+        rep, dp = replicated(mesh), batch_sharded(mesh)
+        rng = np.random.default_rng(3)
+        dims = ModelDims(review_net_only=True)
+        params = init_umpr(jax.random.PRNGKey(3), dims,
+                           rng.standard_normal((48, 16)).astype(np.float32))
+        trainable, frozen = split_frozen(params)
+        trainable = jax.device_put(trainable, rep)
+        frozen = jax.device_put(frozen, rep)
+        tx = make_optimizer(1e-3)
+        opt_state = jax.device_put(tx.init(trainable), rep)
+        step = make_train_step_accum(dims, 2, tx, donate=False)
+        batch = random_batch(np.random.default_rng(7), B=16, S=5, L=12, S_ui=2)
+        batch = {k: jax.device_put(jnp.asarray(v), dp) for k, v in batch.items()}
+        trainable, opt_state, loss, _ = step(
+            trainable, frozen, opt_state, batch, 1e-3, None)
+        return float(loss), trainable
+
+    devices = jax.devices()
+    assert len(devices) >= 8
+    l1, t1 = run(devices[:1])
+    l8, t8 = run(devices[:8])
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(t1), jax.tree_util.tree_leaves(t8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
