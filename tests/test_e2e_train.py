@@ -300,7 +300,9 @@ def test_serve_http_end_to_end(corpus_dir, tmp_path):
         health = json.load(urllib.request.urlopen(f"{base}/health", timeout=30))
         assert health == {"status": "ok"}
 
-        rows = pairs.drop(columns=["rating"]).to_dict(orient="records")
+        # minimal documented schema only: no rating and no preprocessor
+        # user_num/item_num columns (the server derives request-local ids)
+        rows = pairs[["userID", "itemID", "review"]].to_dict(orient="records")
         req = urllib.request.Request(
             f"{base}/predict", data=json.dumps({"rows": rows}).encode(),
             headers={"Content-Type": "application/json"})
@@ -348,7 +350,17 @@ def test_metrics_jsonl(corpus_dir, tmp_path):
     trainer.fit(mk("train"), mk("valid"), model_dir)
     trainer.test(mk("valid"), model_dir)
 
-    records = [json.loads(l) for l in open(metrics_path)]
+    # non-finite values must never reach the file as bare NaN tokens
+    trainer._metric("eval", valid_mse=float("nan"), train_loss=1.0)
+
+    def strict(s):
+        def no_const(x):
+            raise ValueError(f"non-JSON constant {x}")
+        return json.loads(s, parse_constant=no_const)
+
+    records = [strict(l) for l in open(metrics_path)]
+    assert records[-1]["valid_mse"] is None
+    records = records[:-1]
     events = [r["event"] for r in records]
     assert events.count("epoch") == 1
     assert events.count("test") == 1

@@ -140,6 +140,15 @@ def make_http_server(predictor, config, word2vec, port, host="127.0.0.1"):
                         raise ValueError(f"rows are missing column {col!r}")
                 if "rating" not in df.columns:
                     df["rating"] = 0.0
+                # the dataset builder keys histories on the preprocessor's
+                # integer ids (reference data_process.py:31-32); derive them
+                # per-request when the client sends only the string ids
+                # (histories are request-local, so request-local ids are
+                # exactly equivalent)
+                for col, src in (("user_num", "userID"),
+                                 ("item_num", "itemID")):
+                    if col not in df.columns:
+                        df[col] = pd.factorize(df[src])[0]
             except Exception as e:
                 return self._json(400, {"error": f"{type(e).__name__}: {e}"})
             try:

@@ -242,6 +242,11 @@ class Trainer:
         if not path or not multihost.is_primary():
             return
         import json
+        import math
+        # non-finite floats (empty valid split / diverged run) -> null:
+        # bare NaN tokens are not valid JSON and break strict parsers
+        kv = {k: (None if isinstance(v, float) and not math.isfinite(v) else v)
+              for k, v in kv.items()}
         kv = {"event": event, "ts": round(time.time(), 3), **kv}
         try:
             with open(path, "a") as f:
