@@ -329,6 +329,33 @@ def test_serve_http_end_to_end(corpus_dir, tmp_path):
         server.server_close()
 
 
+def test_profile_trace_with_chunked_dispatch(corpus_dir, tmp_path):
+    """--profile_dir must produce a trace even when steps_per_dispatch >= 6:
+    the old stop gate (absolute batch_counter >= 6) fired before the trace
+    ever started for large k, marked the run profiled, and no trace file was
+    written."""
+    profile_dir = str(tmp_path / "trace")
+    cfg = Config(argv=["--device", "cpu", "--review_net_only", "True",
+                       "--batch_size", "8", "--train_epochs", "1",
+                       "--eval_every", "6", "--learning_rate", "0.01",
+                       "--min_sent_count", "1", "--seed", "2",
+                       "--cache_dataset", "False",
+                       "--steps_per_dispatch", "6",
+                       "--profile_dir", profile_dir])
+    logger = get_logger(logger_name="profile-e2e")
+    w2v = Word2vec(str(corpus_dir / "glove.txt"))
+    mk = lambda split: build_dataset(str(corpus_dir / f"{split}.csv"),
+                                     str(corpus_dir / "photos.json"),
+                                     str(corpus_dir / "photos"), w2v, cfg)
+    trainer = Trainer(cfg, logger, w2v)
+    trainer.fit(mk("train"), mk("valid"), str(tmp_path / "m"))
+
+    traces = [os.path.join(root, f)
+              for root, _, files in os.walk(profile_dir)
+              for f in files if f.endswith(".xplane.pb")]
+    assert traces, f"no xplane trace written under {profile_dir}"
+
+
 def test_metrics_jsonl(corpus_dir, tmp_path):
     """--metrics_jsonl appends parseable eval/epoch/test records."""
     import json

@@ -70,7 +70,7 @@ def download_photos(photos_json):
             ok, url, path = task.result()
             if not ok:
                 failed.append((url, path))
-            print(f"progress: {i}/{len(tasks)}", end="\r", flush=True)
+            print(f"progress: {i + 1}/{len(tasks)}", end="\r", flush=True)
 
     for url, path in failed:
         print(f"FAILED: {url} -> {path}")

@@ -38,6 +38,9 @@ class BatchLoader:
         # multi-host: decode photos only for this process's row slice of the
         # global batch (other hosts' rows are never read from this process's
         # shard assembly; their slots stay zero)
+        assert photo_rows is None or pad_to_full, (
+            "photo_rows indexes the full padded batch; with pad_to_full="
+            "False a final partial batch would silently mis-slice it")
         self.photo_rows = photo_rows
         self._rng = np.random.default_rng(seed)
         self._executor = ThreadPoolExecutor(max_workers=workers) if workers > 0 else None

@@ -230,8 +230,13 @@ def restore_pytree(path, like):
 
 
 def save_meta(path, **meta):
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    # atomic like the array files: a crash mid-write must never leave a
+    # truncated meta.json (it would make --resume_path unusable despite
+    # intact arrays)
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
 
 
 def load_meta(path):
@@ -248,6 +253,10 @@ def restore_best(root, like_params):
 
 
 def save_last(root, trainable, opt_state, backend="npz", **meta):
+    """Arrays are swapped first, meta second (each atomically): a crash in
+    between pairs the new arrays with the previous epoch's counters, so a
+    resume re-trains that epoch -- conservative (training is never skipped,
+    and save-best still guards the model quality)."""
     path = os.path.join(root, "last")
     save_pytree(path, {"trainable": trainable, "opt_state": opt_state}, backend)
     save_meta(path, **meta)

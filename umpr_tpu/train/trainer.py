@@ -279,7 +279,12 @@ class Trainer:
                 nonlocal total_loss, total_samples, profiled
                 before = self.batch_counter
                 self.batch_counter += n_steps
-                if cfg.profile_dir and not profiled and self.batch_counter >= 6:
+                # stop only a trace this run actually started, once it has
+                # covered >= 4 steps (with steps_per_dispatch > 4 that is
+                # one chunk; the old absolute >= 6 gate never started a
+                # trace at all for k >= 6, then "stopped" it)
+                if (started_profile and not profiled
+                        and self.batch_counter >= profile_start_count + 4):
                     try:
                         jax.profiler.stop_trace()
                     except Exception:
@@ -309,13 +314,19 @@ class Trainer:
                         self.best_loss = valid_mse
 
             started_profile = False
+            profile_start_count = 0
+            # chunked dispatch yields one stream item per k batches (plus
+            # remainder singles); tqdm's total must count items, not batches
+            n_batches = len(train_loader)
+            n_items = (n_batches // self.k_dispatch
+                       + n_batches % self.k_dispatch)
             for item in self._progress(self._train_stream(train_loader),
-                                       f"Training epoch {epoch}",
-                                       len(train_loader)):
+                                       f"Training epoch {epoch}", n_items):
                 if (cfg.profile_dir and not profiled and not started_profile
                         and self.batch_counter >= 2):
                     jax.profiler.start_trace(cfg.profile_dir)
                     started_profile = True
+                    profile_start_count = self.batch_counter
                 kind, payload = item
                 if kind == "chunk":
                     batches, k = payload
