@@ -242,7 +242,39 @@ REVIEW_TP_B = 512  # UMPR-R throughput mode: B=64 is latency-bound (~2.5 ms
                    # kernels fed and amortizes per-dispatch host latency
 
 
+def _require_devices(timeout_s=600):
+    """Fail fast (rc=1) when the device attachment is wedged.
+
+    jax.devices() through this machine's TPU relay blocks FOREVER if the
+    relay is down (observed: ports 8082-8117 stop listening); without this
+    bound the driver's bench run would hang instead of recording a clean
+    failure.  A healthy attachment answers in seconds (compiles are what
+    take minutes, and those come later), so the generous bound cannot
+    false-negative a merely slow relay."""
+    import threading
+    import jax
+
+    result = {}
+
+    def probe():
+        try:
+            result["devs"] = jax.devices()
+        except Exception as e:  # no backend at all
+            result["err"] = e
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devs" in result:
+        return result["devs"]
+    err = result.get("err", f"jax.devices() did not answer in {timeout_s}s "
+                            "(TPU relay wedged?)")
+    print(f"bench.py: no usable device backend: {err}", file=sys.stderr)
+    sys.exit(1)
+
+
 def main():
+    _require_devices()
     rng = np.random.default_rng(42)
     batch_np = make_batch(rng)
     tpu_sps = bench_tpu(batch_np)
