@@ -291,7 +291,8 @@ def test_serve_http_end_to_end(corpus_dir, tmp_path):
     cli_preds = pd.read_csv(out_path)["prediction"]
 
     cfg2 = Config(argv=cfg_args + ["--model_path", model_dir])
-    server = make_http_server(Predictor(cfg2, w2v, model_dir), cfg2, w2v,
+    predictor = Predictor(cfg2, w2v, model_dir)
+    server = make_http_server(predictor, cfg2, w2v,
                               port=0)  # ephemeral port
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -324,6 +325,31 @@ def test_serve_http_end_to_end(corpus_dir, tmp_path):
             assert False, "expected HTTP 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # null ids are a client-data error (they'd factorize to -1 and
+        # blow up deep in the dataset builder as a 500)
+        rows_null = [dict(rows[0]), dict(rows[1])]
+        rows_null[0]["userID"] = None
+        bad2 = urllib.request.Request(
+            f"{base}/predict",
+            data=json.dumps({"rows": rows_null}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad2, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # non-finite predictions (diverged/corrupt checkpoint) must come
+        # back as JSON null, never a bare NaN token
+        import jax
+        import jax.numpy as jnp
+        predictor.params = jax.tree.map(
+            lambda a: (jnp.full_like(a, jnp.nan)
+                       if jnp.issubdtype(a.dtype, jnp.floating) else a),
+            predictor.params)
+        resp = json.load(urllib.request.urlopen(req, timeout=300))
+        assert all(p is None for p in resp["predictions"])
     finally:
         server.shutdown()
         server.server_close()

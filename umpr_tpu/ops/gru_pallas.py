@@ -82,6 +82,18 @@ def _block_diag(w_f, w_b, H):
 
 _block_diag_whh = _block_diag  # (H, 3H) x2 -> (2H, 6H) recurrent case
 
+_MXU_LANES = 128
+
+
+def _use_stacked_proj(E):
+    """The stacked (2E, 6H) projection is free only while the doubled
+    contraction dim still fits one MXU lane tile (2E <= 128): the zero
+    blocks then occupy padding the hardware pays for anyway.  Beyond that
+    (GloVe 100/200/300d) the stacked matmul does 2x the useful MACs, so
+    those dims take the per-direction projection + explicit interleave
+    instead (its relayout traffic is the lesser cost there)."""
+    return 2 * E <= _MXU_LANES
+
 
 def _make_valid(lengths, tau, H, L, rows):
     """(rows, 2H) f32 mask: fwd lanes valid at tau < len, bwd lanes at
@@ -188,12 +200,20 @@ def _build_xg(params, x, H):
     output is already in the kernel's interleaved gate layout.  Replaces
     the old two-matmul + 6-slice interleave, whose (N, L*6H) concat showed
     up in step profiles as ~177 MB of relayout/dynamic-update-slice traffic
-    at the UMPR-R shapes (N=2560, L=20, H=64)."""
+    at the UMPR-R shapes (N=2560, L=20, H=64).  Wide embeddings
+    (2E > one MXU lane tile, see _use_stacked_proj) keep the per-direction
+    matmuls + interleave: there the stacked form's zero blocks cost real
+    MACs."""
     N, L = x.shape[0], x.shape[1]
-    w = _block_diag(params["fwd"]["w_ih"], params["bwd"]["w_ih"], H)
-    b = _interleave_gates(params["fwd"]["bias_ih"],
-                          params["bwd"]["bias_ih"], H)
-    return (_stack_time(x) @ w + b).reshape(N, L * 6 * H)
+    E = x.shape[2]
+    if _use_stacked_proj(E):
+        w = _block_diag(params["fwd"]["w_ih"], params["bwd"]["w_ih"], H)
+        b = _interleave_gates(params["fwd"]["bias_ih"],
+                              params["bwd"]["bias_ih"], H)
+        return (_stack_time(x) @ w + b).reshape(N, L * 6 * H)
+    xg_f = x @ params["fwd"]["w_ih"] + params["fwd"]["bias_ih"]
+    xg_b = x[:, ::-1] @ params["bwd"]["w_ih"] + params["bwd"]["bias_ih"]
+    return _interleave_gates(xg_f, xg_b, H).reshape(N, L * 6 * H)
 
 
 def _unflip(y_cat, N, L, H):
@@ -392,21 +412,32 @@ def _vjp_bwd(res, dy):
     dw_hh_b = jnp.concatenate([blk_b(g) for g in range(3)], axis=1)
     db_hh_f, db_hh_b = _deinterleave(db_blk, H)
 
-    # input-projection grads: dxg stays in the interleaved layout end to end
-    # (contracted against the stacked (2E, 6H) weight); only the tiny weight
-    # and bias grads get deinterleaved, never the (N, L, 6H) tensor.  The
-    # bwd-lane columns are in combined (flipped) time, matching the flipped
-    # half of _stack_time(x).
+    # input-projection grads: on the stacked path dxg stays in the
+    # interleaved layout end to end (contracted against the stacked
+    # (2E, 6H) weight); only the tiny weight and bias grads get
+    # deinterleaved, never the (N, L, 6H) tensor.  The bwd-lane columns are
+    # in combined (flipped) time, matching the flipped half of
+    # _stack_time(x).  Wide embeddings mirror _build_xg's per-direction
+    # path (deinterleave dxg, two honest-size contractions).
     dxg = dxg_cat.reshape(N, L, 6 * H)
-    w2 = _block_diag(p32["fwd"]["w_ih"], p32["bwd"]["w_ih"], H)
-    dx2 = dxg @ w2.T                                      # (N, L, 2E)
-    dx = dx2[..., :E] + dx2[..., E:][:, ::-1]
-    dw2 = jnp.einsum("nle,nlg->eg", _stack_time(x32), dxg,
-                     preferred_element_type=jnp.float32)  # (2E, 6H)
-    dw_ih_f = jnp.concatenate(
-        [dw2[:E, 2 * g * H:(2 * g + 1) * H] for g in range(3)], axis=1)
-    dw_ih_b = jnp.concatenate(
-        [dw2[E:, (2 * g + 1) * H:(2 * g + 2) * H] for g in range(3)], axis=1)
+    if _use_stacked_proj(E):
+        w2 = _block_diag(p32["fwd"]["w_ih"], p32["bwd"]["w_ih"], H)
+        dx2 = dxg @ w2.T                                      # (N, L, 2E)
+        dx = dx2[..., :E] + dx2[..., E:][:, ::-1]
+        dw2 = jnp.einsum("nle,nlg->eg", _stack_time(x32), dxg,
+                         preferred_element_type=jnp.float32)  # (2E, 6H)
+        dw_ih_f = jnp.concatenate(
+            [dw2[:E, 2 * g * H:(2 * g + 1) * H] for g in range(3)], axis=1)
+        dw_ih_b = jnp.concatenate(
+            [dw2[E:, (2 * g + 1) * H:(2 * g + 2) * H] for g in range(3)], axis=1)
+    else:
+        dxg_f, dxg_b = _deinterleave(dxg, H)                  # (N, L, 3H) x2
+        dx = (dxg_f @ p32["fwd"]["w_ih"].T
+              + (dxg_b @ p32["bwd"]["w_ih"].T)[:, ::-1])
+        dw_ih_f = jnp.einsum("nle,nlg->eg", x32, dxg_f,
+                             preferred_element_type=jnp.float32)
+        dw_ih_b = jnp.einsum("nle,nlg->eg", x32[:, ::-1], dxg_b,
+                             preferred_element_type=jnp.float32)
     db_ih_f, db_ih_b = _deinterleave(
         dxg.sum(axis=(0, 1), dtype=jnp.float32), H)
 

@@ -54,7 +54,6 @@ from umpr_tpu.text.vocab import Word2vec
 class Predictor:
     def __init__(self, config, word2vec, model_path):
         self.config = config
-        self.dims = ModelDims.from_config(config)
         try:
             devices = jax.devices(config.device) if config.device else jax.devices()
         except RuntimeError:
@@ -65,6 +64,10 @@ class Predictor:
         n_dev = int(np.prod(self.mesh.devices.shape))
         assert config.batch_size % n_dev == 0, (
             f"batch_size {config.batch_size} must divide over {n_dev} devices")
+        # like the Trainer: the VGG width-fold gate reasons in per-device
+        # rows, so the serving mesh's dp extent must reach ModelDims too
+        self.dims = ModelDims.from_config(
+            config, n_data_devices=int(self.mesh.shape.get("dp", 1)))
         self.rep, self.dp = replicated(self.mesh), batch_sharded(self.mesh)
 
         like = init_umpr(jax.random.PRNGKey(0), self.dims, word2vec.embedding)
@@ -138,6 +141,11 @@ def make_http_server(predictor, config, word2vec, port, host="127.0.0.1"):
                 for col in ("userID", "itemID", "review"):
                     if col not in df.columns:
                         raise ValueError(f"rows are missing column {col!r}")
+                    if df[col].isna().any():
+                        # client-data error (e.g. a null userID would
+                        # factorize to -1 and blow up deep in the dataset
+                        # builder as a 500): reject up front
+                        raise ValueError(f"column {col!r} contains null values")
                 if "rating" not in df.columns:
                     df["rating"] = 0.0
                 # the dataset builder keys histories on the preprocessor's
@@ -158,9 +166,13 @@ def make_http_server(predictor, config, word2vec, port, host="127.0.0.1"):
                     ds = build_dataset(csv_path, photo_json, photo_dir,
                                        word2vec, config)
                     preds, rows = predictor.predict_dataset(ds)
+                import math
                 out = [None] * len(df)
                 for p, r in zip(preds.tolist(), rows.tolist()):
-                    out[r] = p
+                    # non-finite scores (diverged/corrupt checkpoint) map to
+                    # null: a bare NaN token is not valid JSON and breaks
+                    # strict client parsers (same rule as trainer._metric)
+                    out[r] = p if math.isfinite(p) else None
                 return self._json(200, {"predictions": out})
             except Exception as e:
                 return self._json(500, {"error": f"{type(e).__name__}: {e}"})

@@ -121,12 +121,25 @@ class Trainer:
         if config.resume_path:
             if jax.process_count() > 1:
                 # Only the primary reads the checkpoint (hosts need not
-                # share a filesystem); arrays and meta are broadcast.
+                # share a filesystem); arrays and meta are broadcast.  A
+                # primary-side restore failure must be broadcast BEFORE the
+                # pytree collective: otherwise the other hosts are already
+                # blocked inside it when the primary dies, and the job wedges
+                # until the runtime heartbeat timeout instead of erroring.
                 import json as _json
                 meta = {}
+                err = ""
                 if multihost.is_primary():
-                    self.trainable, self.opt_state, meta = ckpt.restore_last(
-                        config.resume_path, self.trainable, self.opt_state)
+                    try:
+                        self.trainable, self.opt_state, meta = ckpt.restore_last(
+                            config.resume_path, self.trainable, self.opt_state)
+                    except Exception as e:
+                        err = f"{type(e).__name__}: {e}"
+                err = multihost.broadcast_str(err)
+                if err:
+                    raise RuntimeError(
+                        f"resume from {config.resume_path} failed on the "
+                        f"primary process: {err}")
                 self.trainable = multihost.broadcast_pytree(self.trainable)
                 self.opt_state = multihost.broadcast_pytree(self.opt_state)
                 meta = _json.loads(multihost.broadcast_str(_json.dumps(meta)))
@@ -384,9 +397,19 @@ class Trainer:
         if jax.process_count() > 1:
             # primary-only read + broadcast: non-primary hosts may not share
             # the primary's filesystem, and even on shared storage a read
-            # racing the primary's atomic swap could see the previous save
-            params = (ckpt.restore_best(model_path, like)
-                      if multihost.is_primary() else like)
+            # racing the primary's atomic swap could see the previous save.
+            # Failures broadcast before the pytree collective (see the
+            # resume path above: a dead primary would wedge the others).
+            params, err = like, ""
+            if multihost.is_primary():
+                try:
+                    params = ckpt.restore_best(model_path, like)
+                except Exception as e:
+                    err = f"{type(e).__name__}: {e}"
+            err = multihost.broadcast_str(err)
+            if err:
+                raise RuntimeError(f"restore_best from {model_path} failed "
+                                   f"on the primary process: {err}")
             params = multihost.broadcast_pytree(params)
         else:
             params = ckpt.restore_best(model_path, like)
