@@ -42,8 +42,8 @@ def _ref_dataset(csv_path, photo_json, photo_dir, w2v, cfg):
     return ref_dataset_mod.Dataset(csv_path, photo_json, photo_dir, w2v, cfg)
 
 
-def _write_corpus(root, style, n_users=25, n_items=10, per_user=5):
-    rng = random.Random(11)
+def _write_corpus(root, style, n_users=25, n_items=10, per_user=5, seed=11):
+    rng = random.Random(seed)
     raw = root / "reviews.json"
     with open(raw, "w") as f:
         for u in range(n_users):
@@ -152,6 +152,29 @@ def test_yelp_multiview_sample_selection_matches_reference(tmp_path):
     assert len(ref) < int(np.sum([len(x) > 0 for x in
                                   __import__("pandas").read_csv(csv)["review"]]))
     assert (ours.photo_paths == "").any()
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_fuzzed_corpora_and_configs_match_reference(tmp_path, seed):
+    """Property sweep: random corpus shapes x random truncation configs must
+    keep exact sample-selection parity (the retain_idx filter ORDER and the
+    keep-longest truncations are where drift would hide)."""
+    rng = random.Random(seed)
+    _write_corpus(tmp_path, "amazon", n_users=rng.randint(25, 70),
+                  n_items=rng.randint(6, 15), per_user=rng.randint(3, 5),
+                  seed=seed)
+    cfg = Config(argv=[
+        "--device", "cpu",
+        "--min_sent_count", str(rng.randint(1, 3)),
+        "--max_sent_count", str(rng.choice([4, 8, 20])),
+        "--max_ui_sent_count", str(rng.choice([1, 2, 5])),
+        "--max_sent_length", str(rng.choice([6, 12, 20]))])
+    w2v = Word2vec(str(tmp_path / "glove.txt"))
+    csv = str(tmp_path / "train.csv")
+    pj, pd_ = str(tmp_path / "photos.json"), str(tmp_path / "photos")
+    ours = build_dataset(csv, pj, pd_, w2v, cfg)
+    ref = _ref_dataset(csv, pj, pd_, w2v, cfg)
+    _assert_equal(ours, ref, pd_)
 
 
 def test_document_level_review_matches_reference(tmp_path):
