@@ -78,6 +78,30 @@ def test_streaming_equals_full_build(tmp_path, chunk_rows):
             getattr(full, field), getattr(stream, field), err_msg=field)
 
 
+def test_streaming_empty_split_builds_empty_dataset(tmp_path, caplog):
+    """Every row filtered out must yield an empty dataset from the STREAMING
+    path itself -- not a range(step=0) crash silently re-routed through the
+    full-memory fallback."""
+    import logging
+
+    pytest.importorskip("umpr_tpu.native")
+    from umpr_tpu.native import _load
+    if _load() is None:
+        pytest.skip("native toolchain unavailable")
+
+    csv = _make_corpus(tmp_path, n_rows=40)
+    w2v = FakeW2v(WORDS)
+    pj, pdir = str(tmp_path / "photos.json"), str(tmp_path / "photos")
+
+    # min_sent_count beyond any user's history drops every sample
+    with caplog.at_level(logging.WARNING, logger="umpr_tpu.data"):
+        ds = build_dataset(csv, pj, pdir, w2v, _cfg(17, min_sent=10_000))
+    assert len(ds) == 0
+    assert ds.u_tokens.shape[0] == 0 and ds.ratings.shape[0] == 0
+    assert not any("streaming dataset build failed" in r.getMessage()
+                   for r in caplog.records), "fell back to the full build"
+
+
 def test_streaming_mmap_cache_roundtrip(tmp_path):
     """mmap_dir mode: packed arrays land on disk as .npy memmaps, the dir is
     a complete loadable cache, and contents equal the in-memory build."""

@@ -320,11 +320,17 @@ def test_grad_accum_equals_single_step():
             # comparison requires it off)
             t, _, loss, aux = step(trainable, frozen, tx.init(trainable),
                                    dev_batch, 1e-3, None)
-            results.append((t, float(loss), float(aux["n_real"])))
+            results.append((t, float(loss), aux))
 
-        (t1, l1, n1), (t4, l4, n4) = results
-        assert n1 == n4 == 5.0
+        (t1, l1, a1), (t4, l4, a4) = results
+        assert float(a1["n_real"]) == float(a4["n_real"]) == 5.0
         assert abs(l1 - l4) <= 1e-5 * max(1.0, abs(l1)), (l1, l4)
+        # same aux surface on both paths: metrics hooks written against the
+        # single-step contract must keep working under grad accumulation
+        assert set(a1) == set(a4)
+        for key in set(a1) - {"n_real"}:
+            np.testing.assert_allclose(float(a1[key]), float(a4[key]),
+                                       rtol=1e-4, atol=1e-6, err_msg=key)
         jax.tree.map(lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6), t1, t4)
 

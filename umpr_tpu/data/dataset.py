@@ -117,9 +117,13 @@ def _tokenize_reviews(df, word2vec, config):
                                      sentence_level, return_flat=True)
         if fast is not None and fast[0] is not None:
             return fast  # (per-doc lists, flat arrays or None)
+        # Loud fallback (both arms): silently degrading to the python
+        # tokenizer turns a minutes-scale corpus build into hours.  The
+        # common miss is a returned None (library not built / not loadable),
+        # not an exception.
+        _log.warning("native tokenizer unavailable; using python path "
+                     "(large corpus builds will be much slower)")
     except Exception as e:
-        # Loud fallback: silently degrading to the python tokenizer turns a
-        # minutes-scale corpus build into hours.
         _log.warning("native tokenizer failed (%s: %s); using python path",
                      type(e).__name__, e)
 
@@ -348,7 +352,9 @@ def _build_dataset_streaming(data_path, photo_json, photo_dir, word2vec,
             dtype=np.int32, shape=shape)
 
     # slab size: bound the dirty-page footprint of each C++ fill call
-    step = n_out if mmap_dir is None else max(
+    # (max(1, ...) also keeps range()'s step nonzero when every row was
+    # filtered out -- an empty split must build an empty dataset, not crash)
+    step = max(1, n_out) if mmap_dir is None else max(
         1, _PACK_CHUNK_BYTES // (S * L * 4))
 
     def fill_histories(lead, costar, prefix):
@@ -373,7 +379,7 @@ def _build_dataset_streaming(data_path, photo_json, photo_dir, word2vec,
         tok = alloc("ui_tokens", (n_out, S_ui, L))
         lng = alloc("ui_lengths", (n_out, S_ui))
         cnt = alloc("ui_counts", (n_out,))
-        ui_step = n_out if mmap_dir is None else max(
+        ui_step = max(1, n_out) if mmap_dir is None else max(
             1, _PACK_CHUNK_BYTES // (S_ui * L * 4))
         for lo in range(0, n_out, ui_step):
             hi = min(lo + ui_step, n_out)

@@ -42,8 +42,8 @@ def affinity_attention(gru_u, gru_i, M, exists, use_pallas=False):
         # kernel with an opaque allocation error -- fail early and legibly
         # instead.  (P = max_sent_count * max_sent_length; the reference
         # config is P=400.)
-        Dp_est = -(-D // 128) * 128
-        max_p = (90 << 20) // (4 * (2 * Dp_est + 8 * 128)) // 128 * 128
+        Dp = -(-D // 128) * 128  # D ceil-padded to the 128-lane tile
+        max_p = (90 << 20) // (4 * (2 * Dp + 8 * 128)) // 128 * 128
         if P > max_p:
             raise NotImplementedError(
                 f"affinity attention: P={P} exceeds the tiled kernel's "
@@ -59,7 +59,6 @@ def affinity_attention(gru_u, gru_i, M, exists, use_pallas=False):
         # is zero-padded (the padded lanes contribute nothing to A or the
         # attended outputs, which are sliced back).
         from umpr_tpu.ops.attention_pallas import affinity_attention_tiled
-        Dp = -(-D // 128) * 128
         if Dp != D:
             pad = ((0, 0), (0, 0), (0, Dp - D))
             su, si, au, ai = affinity_attention_tiled(

@@ -102,9 +102,14 @@ def make_train_step_accum(dims, k, tx, donate=True):
         mask = batch["sample_mask"]
         sq = jnp.sum(mask * (pred - batch["ratings"]) ** 2)
         loss = sq / n_total
+        # per-micro aux terms that SUM to the single-step aux values:
+        # loss_r micro-terms are sq/n_total (full-batch denominator), loss_v
+        # is additive over micro-batches (see the docstring)
+        out_aux = {"loss_r": sq / n_total}
         if not dims.review_net_only:
             loss = loss + dims.loss_v_rate * aux["loss_v"]
-        return loss, aux
+            out_aux["loss_v"] = aux["loss_v"]
+        return loss, out_aux
 
     def train_step(trainable, frozen, opt_state, batch, lr, dropout_rng):
         B = batch["sample_mask"].shape[0]
@@ -130,16 +135,19 @@ def make_train_step_accum(dims, k, tx, donate=True):
         def body(grads, inp):
             mb, rng = inp
             mb = dict(mb, pad_maxima=pad_maxima)
-            (loss, _), g = jax.value_and_grad(micro_loss, has_aux=True)(
+            (loss, aux_m), g = jax.value_and_grad(micro_loss, has_aux=True)(
                 trainable, frozen, mb, rng if has_rng else None, n_total)
-            return jax.tree.map(jnp.add, grads, g), loss
+            return jax.tree.map(jnp.add, grads, g), (loss, aux_m)
 
         zeros = jax.tree.map(jnp.zeros_like, trainable)
-        grads, losses = jax.lax.scan(body, zeros, (micro, rngs))
+        grads, (losses, auxs) = jax.lax.scan(body, zeros, (micro, rngs))
         updates, opt_state = tx.update(grads, opt_state, trainable)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         trainable = optax.apply_updates(trainable, updates)
-        aux = {"n_real": jnp.sum(batch["sample_mask"])}
+        # same aux surface as make_train_step: micro terms sum to the
+        # full-batch loss_r / loss_v (see micro_loss)
+        aux = jax.tree.map(lambda a: jnp.sum(a, axis=0), auxs)
+        aux["n_real"] = jnp.sum(batch["sample_mask"])
         return trainable, opt_state, jnp.sum(losses), aux
 
     return jax.jit(train_step, donate_argnums=(0, 2) if donate else ())
