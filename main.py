@@ -112,9 +112,18 @@ def main():
         # (concurrent writers would interleave).
         stamp = multihost.broadcast_str(date("%Y%m%d_%H%M%S"))
         proc = (f".p{jax.process_index()}" if jax.process_count() > 1 else "")
-        config.log_path = config.log_path or f"./log/{save_name}{stamp}{proc}.txt"
+        if config.log_path:
+            if proc:
+                # user-supplied paths get the per-process suffix too: N
+                # hosts appending to ONE file would interleave mid-record
+                root, ext = os.path.splitext(config.log_path)
+                config.log_path = f"{root}{proc}{ext}"
+        else:
+            config.log_path = f"./log/{save_name}{stamp}{proc}.txt"
         config.model_path = config.model_path or f"./model/{save_name}{stamp}"
-        os.makedirs(os.path.dirname(config.log_path), exist_ok=True)
+        log_dir = os.path.dirname(config.log_path)
+        if log_dir:  # a bare filename has no directory to create
+            os.makedirs(log_dir, exist_ok=True)
         os.makedirs(config.model_path, exist_ok=True)
 
     photo_dir = os.path.join(config.data_dir, "photos")

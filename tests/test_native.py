@@ -67,6 +67,27 @@ def test_native_matches_python(sentence_level, max_len):
     assert normalize(fast) == ref
 
 
+def test_native_matches_python_with_duplicate_vocab_words():
+    """Duplicate words in the embedding file: the python Word2vec dict
+    overwrites the word's id WITHOUT advancing the count (the reference's
+    id-shifting quirk, vocab.py:72-79); the native vocab_build must
+    replicate that, not first-occurrence-wins."""
+    from umpr_tpu.native import fast_tokenize_reviews
+
+    words = ["alpha", "beta", "alpha", "gamma", "delta"]  # alpha duplicated
+    vecs = np.arange(len(words) * 4, dtype=np.float32).reshape(len(words), 4)
+    w2v = Word2vec(source="arrays", vocab=words, vectors=vecs)
+    # python semantics: alpha -> 5 (overwritten), gamma -> 5 (!), delta -> 6
+    assert [w2v.word2index[w] for w in ("alpha", "beta", "gamma", "delta")] \
+        == [5, 4, 5, 6]
+
+    docs = ["alpha beta gamma delta alpha beta. delta gamma beta alpha zz 12"]
+    fast = fast_tokenize_reviews(docs, w2v, 20, True)
+    if fast is None:
+        pytest.skip("native toolchain unavailable")
+    assert normalize(fast) == python_tokenize(docs, w2v, 20, True)
+
+
 def test_native_speedup():
     from umpr_tpu.native import fast_tokenize_reviews
     w2v = FakeW2v(WORDS)

@@ -35,6 +35,33 @@ def test_skipgram_trains_and_feeds_word2vec():
     assert ids[-1] == 2 and 1 in ids[2:3] or True  # NUM mapping + UNK
 
 
+def test_pair_batches_cover_every_skipgram_pair():
+    """The streamed pair generator must emit exactly the brute-force
+    skip-gram pair multiset (both directions, sentence-bounded windows),
+    with every batch but the last at the requested size."""
+    import collections
+    from umpr_tpu.pretrain.word2vec_train import _flat_ids, _pair_batches
+
+    sentences = ["a b c d e", "c d e", "f", "a c a b", "", "b"]
+    word2id = {w: i for i, w in enumerate("abcdef")}
+    ids, sent = _flat_ids(sentences, word2id)
+    got = collections.Counter()
+    sizes = []
+    for c, o in _pair_batches(ids, sent, window=2, batch_size=8,
+                              rng=np.random.default_rng(0)):
+        got.update(zip(c.tolist(), o.tolist()))
+        sizes.append(len(c))
+    want = collections.Counter()
+    for s in sentences:
+        toks = [word2id[w] for w in s.split()]
+        for i, cw in enumerate(toks):
+            for j in range(max(0, i - 2), min(len(toks), i + 3)):
+                if j != i:
+                    want[(cw, toks[j])] += 1
+    assert got == want
+    assert all(n == 8 for n in sizes[:-1])
+
+
 def test_abae_forward_matches_reference():
     """Our ABAE forward/loss vs the reference torch ABAE with identical
     weights (KMeans init bypassed by copying our aspects in)."""

@@ -46,16 +46,21 @@ inline bool all_digits(const char* s, size_t n) {
 extern "C" {
 
 // words: '\n'-separated UTF-8 word list; ids are 3 + line index (PAD/UNK/NUM
-// reserved), matching Word2vec's layout.
+// reserved), matching Word2vec's layout.  Duplicate words replicate the
+// python dict's `word2index[w] = len(word2index)` exactly: the id is
+// 3 + current UNIQUE-word count and a repeat OVERWRITES its entry without
+// advancing that count (vocab.py:78-79's reference-exact quirk) -- emplace
+// (first-wins, always-advancing) would tokenize differently from the python
+// fallback on files with duplicate/reserved words.
 void* vocab_build(const char* words, int64_t len) {
     auto* v = new Vocab();
-    int32_t next_id = 3;
     const char* p = words;
     const char* end = words + len;
     while (p < end) {
         const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
         size_t n = nl ? static_cast<size_t>(nl - p) : static_cast<size_t>(end - p);
-        v->map.emplace(std::string(p, n), next_id++);
+        int32_t id = static_cast<int32_t>(3 + v->map.size());
+        v->map[std::string(p, n)] = id;
         p += n + 1;
     }
     return v;

@@ -32,12 +32,20 @@ import optax
 EPS = 1e-6
 
 
-def init_abae(key, word_emb, aspect_size):
-    """word_emb: (V, D).  KMeans aspect init as in the reference."""
-    from sklearn.cluster import KMeans
+def init_abae(key, word_emb, aspect_size, kmeans=True):
+    """word_emb: (V, D).  KMeans aspect init as in the reference.
+
+    kmeans=False skips the (expensive, minutes at large vocabs) clustering
+    and zero-fills the aspect matrix -- for shape templates whose values a
+    checkpoint restore immediately replaces."""
     word_emb = np.asarray(word_emb, np.float32)
-    km = KMeans(n_clusters=aspect_size, n_init=10)
-    km.fit(word_emb)
+    if kmeans:
+        from sklearn.cluster import KMeans
+        km = KMeans(n_clusters=aspect_size, n_init=10)
+        km.fit(word_emb)
+        aspect = jnp.asarray(km.cluster_centers_, jnp.float32)
+    else:
+        aspect = jnp.zeros((aspect_size, word_emb.shape[1]), jnp.float32)
     k1, k2 = jax.random.split(key)
     d = word_emb.shape[1]
     return {
@@ -48,7 +56,7 @@ def init_abae(key, word_emb, aspect_size):
                                          -1 / np.sqrt(d), 1 / np.sqrt(d)),
             "bias": jnp.zeros((aspect_size,), jnp.float32),
         },
-        "aspect": jnp.asarray(km.cluster_centers_, jnp.float32),
+        "aspect": aspect,
     }
 
 
@@ -232,7 +240,8 @@ def main(argv=None):
     w2v = Word2vec(source="arrays", vocab=vocab, vectors=vecs, counts=counts,
                    vocab_size=args.vocab_size)
     logger.info(f"vocabulary size: {len(w2v)}")
-    os.makedirs(os.path.dirname(args.save_path), exist_ok=True)
+    # save_pytree creates the directory itself; a makedirs(dirname(...))
+    # here would crash on a bare filename (dirname == "")
     train_abae(w2v, trains, sent_len=args.max_length, neg_count=args.neg_count,
                batch_size=args.batch_size, aspect_size=args.aspect_size,
                abae_regular=args.abae_regular, learning_rate=args.learning_rate,

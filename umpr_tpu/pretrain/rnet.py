@@ -230,7 +230,11 @@ def main(argv=None):
             lr_decay=0.99, train_epochs=15, save_path=args.save_ABAE, logger=logger)
     else:
         from umpr_tpu.pretrain.abae import init_abae
-        like = init_abae(jax.random.PRNGKey(0), w2v.embedding, args.aspect_size)
+        # kmeans=False: this is only a shape template; restore_pytree
+        # replaces every value, so the reference's KMeans init would be
+        # minutes of wasted clustering at large vocabs
+        like = init_abae(jax.random.PRNGKey(0), w2v.embedding,
+                         args.aspect_size, kmeans=False)
         abae_params = restore_pytree(args.save_ABAE, like)
 
     pretrain_r_net(w2v, trains, abae_params, args.save_rnet,

@@ -29,24 +29,56 @@ def build_vocab(sentences, min_count=10):
     return vocab, np.asarray([counts[w] for w in vocab], np.int64)
 
 
-def _pairs(sentences, word2id, window, rng):
-    """(center, context) id pairs over all sentences."""
-    centers, contexts = [], []
-    for s in sentences:
-        ids = [word2id[w] for w in s.split() if w in word2id]
-        for i, c in enumerate(ids):
-            lo = max(0, i - window)
-            hi = min(len(ids), i + window + 1)
-            for j in range(lo, hi):
-                if j != i:
-                    centers.append(c)
-                    contexts.append(ids[j])
-    if not centers:
-        return np.zeros(0, np.int32), np.zeros(0, np.int32)
-    centers = np.asarray(centers, np.int32)
-    contexts = np.asarray(contexts, np.int32)
-    perm = rng.permutation(len(centers))
-    return centers[perm], contexts[perm]
+def _flat_ids(sentences, word2id):
+    """Corpus as one flat int32 id stream + parallel sentence-id array
+    (8 bytes/token total).  The previous design materialized every
+    (center, context) pair as python int lists -- ~2*window pairs per token
+    at ~30 bytes per list int, tens-to-hundreds of GB at the Yelp/CSJ
+    corpus scale this module replaces gensim for."""
+    chunk_ids, chunk_sent = [], []
+    buf_ids, buf_sent = [], []
+    for si, s in enumerate(sentences):
+        toks = [word2id[w] for w in s.split() if w in word2id]
+        buf_ids.extend(toks)
+        buf_sent.extend([si] * len(toks))
+        if len(buf_ids) >= (1 << 20):
+            chunk_ids.append(np.asarray(buf_ids, np.int32))
+            chunk_sent.append(np.asarray(buf_sent, np.int64))
+            buf_ids, buf_sent = [], []
+    chunk_ids.append(np.asarray(buf_ids, np.int32))
+    chunk_sent.append(np.asarray(buf_sent, np.int64))
+    return np.concatenate(chunk_ids), np.concatenate(chunk_sent)
+
+
+_PAIR_CHUNK = 1 << 21  # positions per slab (tens of MB live at a time)
+
+
+def _pair_batches(ids, sent, window, batch_size, rng):
+    """Yield shuffled (centers, contexts) batches streamed from the flat id
+    arrays: for offset d, the pairs are (ids[i], ids[i+d]) plus the flip,
+    wherever both positions lie in one sentence.  Chunk order and intra-
+    chunk order are shuffled; leftovers carry across chunks so every batch
+    but the final one is exactly batch_size (one jit shape)."""
+    T = len(ids)
+    spans = [(d, lo) for d in range(1, window + 1)
+             for lo in range(0, max(T - d, 0), _PAIR_CHUNK)]
+    rng.shuffle(spans)
+    rem_c = rem_o = np.zeros(0, np.int32)
+    for d, lo in spans:
+        hi = min(lo + _PAIR_CHUNK, T - d)
+        a, b = ids[lo:hi], ids[lo + d:hi + d]
+        ok = sent[lo:hi] == sent[lo + d:hi + d]
+        a, b = a[ok], b[ok]
+        c = np.concatenate([rem_c, a, b])
+        o = np.concatenate([rem_o, b, a])
+        perm = rng.permutation(len(c))
+        c, o = c[perm], o[perm]
+        end = len(c) - len(c) % batch_size
+        for s in range(0, end, batch_size):
+            yield c[s:s + batch_size], o[s:s + batch_size]
+        rem_c, rem_o = c[end:], o[end:]
+    if len(rem_c):
+        yield rem_c, rem_o
 
 
 def train_skipgram(sentences, emb_dim=50, window=5, min_count=10, neg=5,
@@ -87,13 +119,11 @@ def train_skipgram(sentences, emb_dim=50, window=5, min_count=10, neg=5,
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    centers, contexts = _pairs(sentences, word2id, window, rng)
-    n = len(centers)
+    flat_ids, flat_sent = _flat_ids(sentences, word2id)
     for epoch in range(epochs):
-        total, nb = 0.0, 0
-        for s in range(0, n, batch_size):
-            c = centers[s:s + batch_size]
-            o = contexts[s:s + batch_size]
+        total, nb, n = 0.0, 0, 0
+        for c, o in _pair_batches(flat_ids, flat_sent, window, batch_size, rng):
+            n += len(c)
             if len(c) < 16:
                 continue
             negs = rng.choice(V, size=(len(c), neg), p=p_neg).astype(np.int32)
