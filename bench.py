@@ -31,21 +31,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) or ".")
 
 
-def _enable_compile_cache():
-    """Persistent XLA compilation cache: the full train step takes minutes
-    to compile through this machine's remote-compile tunnel; repeat runs
-    (e.g. the driver's) should hit the cache."""
-    import jax
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+from umpr_tpu.utils.cache import enable_compile_cache
 
-
-_enable_compile_cache()
+enable_compile_cache(os.path.dirname(os.path.abspath(__file__)))
 
 B, S, L, S_UI, EMB, VOCAB = 64, 20, 20, 5, 50, 5000
 STEPS = 100        # train steps per cycle

@@ -81,14 +81,8 @@ def main():
         # Must happen before first backend use; overrides any TPU plugin that
         # force-registered itself (see tests/conftest.py note).
         jax.config.update("jax_platforms", "cpu")
-    try:
-        # Persistent XLA compilation cache: the jitted train step can take
-        # minutes to compile on remote-compile setups; cache across runs.
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from umpr_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache(os.path.dirname(os.path.abspath(__file__)))
 
     # Multi-host: join the global runtime BEFORE any device query, so the
     # trainer's mesh spans every host's chips (no-op when single-host).

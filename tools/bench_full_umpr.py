@@ -30,12 +30,8 @@ V5E_BF16_PEAK = 197e12  # TFLOP/s, one v5e chip
 
 def enable_cache():
     import jax
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    try:
-        jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from umpr_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
 
 def vgg16_flops(img=224, batch=1, train=True):

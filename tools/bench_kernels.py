@@ -47,12 +47,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    try:
-        jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from umpr_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     def sync_scalar(x):
         return float(jax.tree.leaves(x)[0].ravel()[0])

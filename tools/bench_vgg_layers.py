@@ -30,12 +30,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    try:
-        jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from umpr_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     from umpr_tpu.models.visual_net import VGG16_CFG
 

@@ -24,12 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def capture(trace_dir, B, steps, dtype, img, review_only=False):
     import jax
     import jax.numpy as jnp
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    try:
-        jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from umpr_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     from umpr_tpu.models.umpr import ModelDims, init_umpr
     from umpr_tpu.train.optim import make_optimizer, split_frozen
     from umpr_tpu.train.step import make_train_step

@@ -417,12 +417,17 @@ def _build_dataset_streaming(data_path, photo_json, photo_dir, word2vec,
 
 
 def build_dataset(data_path, photo_json, photo_dir, word2vec, config,
-                  mmap_dir=None) -> UMPRDataset:
+                  mmap_dir=None, df=None) -> UMPRDataset:
     """mmap_dir: optional cache directory; the streaming build then writes
     the packed arrays straight into .npy memmaps there (the directory
-    becomes a complete, loadable dataset cache)."""
+    becomes a complete, loadable dataset cache).
+
+    df: optional in-memory DataFrame used INSTEAD of reading data_path --
+    for callers whose rows never lived in a CSV (the HTTP scorer), where a
+    CSV round trip would NA-coerce legitimate review strings like "NA".
+    In-memory inputs take the full-memory path (they are request-sized)."""
     chunk_rows = getattr(config, "build_chunk_rows", 0)
-    if chunk_rows and chunk_rows > 0:
+    if df is None and chunk_rows and chunk_rows > 0:
         try:
             if mmap_dir is not None:
                 os.makedirs(mmap_dir, exist_ok=True)
@@ -433,7 +438,8 @@ def build_dataset(data_path, photo_json, photo_dir, word2vec, config,
             _log.warning("streaming dataset build failed (%s: %s); "
                          "using the full-memory path", type(e).__name__, e)
 
-    df = pd.read_csv(data_path)
+    if df is None:
+        df = pd.read_csv(data_path)
     tokenized = _tokenize_reviews(df, word2vec, config)
     reviews, flat = tokenized if isinstance(tokenized, tuple) else (tokenized, None)
 

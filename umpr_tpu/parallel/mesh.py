@@ -48,3 +48,27 @@ def replicated(mesh):
 def batch_sharded(mesh, axis="dp"):
     """Shard the leading (batch) dimension; replicate everything else."""
     return NamedSharding(mesh, P(axis))
+
+
+def setup_runtime(config):
+    """Shared Trainer/Predictor bring-up from a Config: device selection
+    (with unavailable-platform fallback), --multi_gpu truncation, mesh,
+    batch divisibility check, and ModelDims carrying the mesh's dp extent
+    (the VGG fold gate reasons in per-device rows).  One implementation so
+    serving can never compile a model whose fold gate disagrees with
+    training.  Returns (mesh, replicated, batch_sharded, dims, n_dev)."""
+    from umpr_tpu.models.umpr import ModelDims
+
+    try:
+        devices = jax.devices(config.device) if config.device else jax.devices()
+    except RuntimeError:  # requested platform unavailable -> default
+        devices = jax.devices()
+    if not config.multi_gpu:
+        devices = devices[:1]
+    mesh = make_mesh(devices, shape=config.mesh_shape or None)
+    n_dev = int(np.prod(mesh.devices.shape))
+    assert config.batch_size % n_dev == 0, (
+        f"batch_size {config.batch_size} must divide over {n_dev} devices")
+    dims = ModelDims.from_config(
+        config, n_data_devices=int(mesh.shape.get("dp", 1)))
+    return mesh, replicated(mesh), batch_sharded(mesh), dims, n_dev

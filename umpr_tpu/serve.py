@@ -45,8 +45,8 @@ import jax.numpy as jnp
 from umpr_tpu.config import Config
 from umpr_tpu.data.dataset import build_dataset
 from umpr_tpu.data.loader import BatchLoader, prefetch_to_device
-from umpr_tpu.models.umpr import ModelDims, init_umpr, umpr_forward
-from umpr_tpu.parallel.mesh import make_mesh, replicated, batch_sharded
+from umpr_tpu.models.umpr import init_umpr, umpr_forward
+from umpr_tpu.parallel.mesh import setup_runtime
 from umpr_tpu.train import checkpoint as ckpt
 from umpr_tpu.text.vocab import Word2vec
 
@@ -54,21 +54,15 @@ from umpr_tpu.text.vocab import Word2vec
 class Predictor:
     def __init__(self, config, word2vec, model_path):
         self.config = config
-        try:
-            devices = jax.devices(config.device) if config.device else jax.devices()
-        except RuntimeError:
-            devices = jax.devices()
-        if not config.multi_gpu:
-            devices = devices[:1]
-        self.mesh = make_mesh(devices, shape=config.mesh_shape or None)
-        n_dev = int(np.prod(self.mesh.devices.shape))
-        assert config.batch_size % n_dev == 0, (
-            f"batch_size {config.batch_size} must divide over {n_dev} devices")
-        # like the Trainer: the VGG width-fold gate reasons in per-device
-        # rows, so the serving mesh's dp extent must reach ModelDims too
-        self.dims = ModelDims.from_config(
-            config, n_data_devices=int(self.mesh.shape.get("dp", 1)))
-        self.rep, self.dp = replicated(self.mesh), batch_sharded(self.mesh)
+        # the SAME bring-up as the Trainer (one implementation: the VGG fold
+        # gate must reason in per-device rows identically in both)
+        self.mesh, self.rep, self.dp, self.dims, _ = setup_runtime(config)
+        # persistent decoded-photo cache: per-request loaders would allocate
+        # and discard a fresh cache, re-decoding every JPEG on every request
+        from umpr_tpu.data.images import PhotoCache
+        self._photo_cache = (PhotoCache(config.photo_cache_mb << 20)
+                             if (config.photo_cache_mb > 0
+                                 and not config.review_net_only) else None)
 
         like = init_umpr(jax.random.PRNGKey(0), self.dims, word2vec.embedding)
         params = ckpt.restore_best(model_path, like)
@@ -89,7 +83,8 @@ class Predictor:
         loader = BatchLoader(dataset, cfg.batch_size,
                              ignore_photos=cfg.review_net_only,
                              resize=(cfg.photo_size, cfg.photo_size),
-                             workers=cfg.data_workers)
+                             workers=cfg.data_workers,
+                             photo_cache=self._photo_cache)
         preds = []
         for batch in prefetch_to_device(iter(loader), self.dp,
                                         depth=self.config.prefetch_depth):
@@ -106,7 +101,6 @@ def make_http_server(predictor, config, word2vec, port, host="127.0.0.1"):
     serialized under one lock -- the device is the bottleneck anyway, and it
     keeps per-request dataset builds deterministic."""
     import json
-    import tempfile
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -160,11 +154,13 @@ def make_http_server(predictor, config, word2vec, port, host="127.0.0.1"):
             except Exception as e:
                 return self._json(400, {"error": f"{type(e).__name__}: {e}"})
             try:
-                with lock, tempfile.TemporaryDirectory() as td:
-                    csv_path = os.path.join(td, "rows.csv")
-                    df.to_csv(csv_path, index=False)
-                    ds = build_dataset(csv_path, photo_json, photo_dir,
-                                       word2vec, config)
+                with lock:
+                    # the DataFrame goes to the builder directly: a CSV
+                    # round trip would NA-coerce legitimate review strings
+                    # ("NA", "None", "") back into NaN after validation
+                    df["review"] = df["review"].astype(str)
+                    ds = build_dataset(None, photo_json, photo_dir,
+                                       word2vec, config, df=df)
                     preds, rows = predictor.predict_dataset(ds)
                 import math
                 out = [None] * len(df)
@@ -206,19 +202,17 @@ def main(argv=None):
 
     assert args.input, "--input is required (or pass --server)"
     df = pd.read_csv(args.input)
-    csv_path = args.input
+    build_df = None
     if "rating" not in df.columns:
         df = df.copy()
         df["rating"] = 0.0
-        csv_path = args.input + ".scored.tmp.csv"
-        df.to_csv(csv_path, index=False)
+        build_df = df  # rating-less inputs go to the builder in memory
 
     w2v = Word2vec(config.word2vec_file)
     photo_json = os.path.join(config.data_dir, "photos.json")
     photo_dir = os.path.join(config.data_dir, "photos")
-    ds = build_dataset(csv_path, photo_json, photo_dir, w2v, config)
-    if csv_path != args.input:
-        os.remove(csv_path)
+    ds = build_dataset(args.input, photo_json, photo_dir, w2v, config,
+                       df=build_df)
 
     predictor = Predictor(config, w2v, config.model_path)
     preds, rows = predictor.predict_dataset(ds)

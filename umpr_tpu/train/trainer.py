@@ -18,9 +18,9 @@ import numpy as np
 from tqdm import tqdm
 
 from umpr_tpu.data.loader import BatchLoader, prefetch_to_device
-from umpr_tpu.models.umpr import ModelDims, init_umpr
+from umpr_tpu.models.umpr import init_umpr
 from umpr_tpu.parallel import multihost
-from umpr_tpu.parallel.mesh import make_mesh, replicated, batch_sharded
+from umpr_tpu.parallel.mesh import setup_runtime
 from umpr_tpu.train import checkpoint as ckpt
 from umpr_tpu.train.optim import (make_optimizer, split_frozen, merge_params,
                                   lr_at_epoch)
@@ -42,23 +42,7 @@ class Trainer:
                         "using npz for this multi-host run.")
             config.checkpoint_backend = "npz"
 
-        try:
-            devices = jax.devices(config.device) if config.device else jax.devices()
-        except RuntimeError:  # requested platform unavailable -> default
-            devices = jax.devices()
-        if not config.multi_gpu:
-            devices = devices[:1]
-        self.mesh = make_mesh(devices, shape=config.mesh_shape or None)
-        n_dev = int(np.prod([d for d in self.mesh.devices.shape]))
-        assert config.batch_size % n_dev == 0, (
-            f"batch_size {config.batch_size} must divide over {n_dev} devices")
-        # n_data_devices scales the VGG width-fold gate: its win/loss
-        # crossover is per-device rows, but jit traces global shapes.  The
-        # batch is sharded over the 'dp' mesh axis only.
-        self.dims = ModelDims.from_config(
-            config, n_data_devices=int(self.mesh.shape.get("dp", 1)))
-        self.rep = replicated(self.mesh)
-        self.dp = batch_sharded(self.mesh)
+        self.mesh, self.rep, self.dp, self.dims, n_dev = setup_runtime(config)
 
         key = jax.random.PRNGKey(config.seed)
         params = init_umpr(key, self.dims, word2vec.embedding)
@@ -105,8 +89,18 @@ class Trainer:
         else:
             self.train_step = make_train_step(self.dims, self.tx)
         self.eval_step = make_eval_step(self.dims)
+        # dropout-rng derivation as ONE jitted call per dispatch: eagerly
+        # rebuilding PRNGKey + k fold_ins + stack cost ~k+2 small device
+        # round-trips per chunk on remote-attached TPUs, eating the
+        # per-dispatch-latency win steps_per_dispatch exists for.  Values
+        # are bit-identical: fold_in(PRNGKey(seed), batch_counter + j).
+        self._base_rng = jax.random.PRNGKey(config.seed)
+        self._fold1 = jax.jit(jax.random.fold_in)
         self.k_dispatch = max(1, config.steps_per_dispatch)
         if self.k_dispatch > 1:
+            offs = jnp.arange(self.k_dispatch, dtype=jnp.uint32)
+            self._fold_chunk = jax.jit(lambda key, start: jax.vmap(
+                lambda j: jax.random.fold_in(key, j))(start + offs))
             assert config.eval_every % self.k_dispatch == 0, (
                 "steps_per_dispatch must divide eval_every (keeps the "
                 "per-500-batch eval cadence exact)")
@@ -343,10 +337,7 @@ class Trainer:
                 kind, payload = item
                 if kind == "chunk":
                     batches, k = payload
-                    rngs = jnp.stack([
-                        jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
-                                           self.batch_counter + j)
-                        for j in range(k)])
+                    rngs = self._fold_chunk(self._base_rng, self.batch_counter)
                     self.trainable, self.opt_state, loss_sum, n_sum = self.multi_step(
                         self.trainable, self.frozen, self.opt_state, batches,
                         lr, rngs)
@@ -355,8 +346,7 @@ class Trainer:
                     after_steps(k)
                 else:
                     batch = payload
-                    rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
-                                             self.batch_counter)
+                    rng = self._fold1(self._base_rng, self.batch_counter)
                     self.trainable, self.opt_state, loss, aux = self.train_step(
                         self.trainable, self.frozen, self.opt_state, batch,
                         lr, rng)
