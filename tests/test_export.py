@@ -54,6 +54,33 @@ def test_export_roundtrip_full_model(tmp_path):
     _roundtrip(tmp_path, dims, batch)
 
 
+def test_export_cross_platform_lowering(tmp_path):
+    """--platforms tpu,cpu: the artifact built on a CPU host must carry a
+    TPU lowering too (the documented deploy-from-build-host flow), while
+    still deserializing and scoring correctly on the CPU backend."""
+    dims = ModelDims(review_net_only=True)
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((40, 16)).astype(np.float32)
+    params = init_umpr(jax.random.PRNGKey(4), dims, emb)
+    batch = random_batch(np.random.default_rng(1), B=8, S=5, L=10, S_ui=2)
+
+    spec = batch_spec(Cfg, dims)
+    path = str(tmp_path / "xplat.jexp")
+    save_artifact(path, export_predict(params, dims, spec,
+                                       platforms=("cpu", "tpu")), params)
+
+    from jax import export as jex
+    with open(path, "rb") as f:
+        exp = jex.deserialize(f.read())
+    assert set(exp.platforms) == {"cpu", "tpu"}
+
+    predict, loaded = load_predict(path)
+    dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    got = np.asarray(predict(loaded, dev_batch))
+    want = np.asarray(umpr_forward(params, dev_batch, dims, train=False)[0])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
 def test_export_cli_end_to_end(tmp_path):
     """umpr_tpu.export CLI: checkpoint -> artifact + sidecar + metadata;
     load_predict scores a loader-shaped batch."""
