@@ -277,7 +277,11 @@ def test_restore_prefers_newer_format_after_crashed_clear(tmp_path, monkeypatch)
     from umpr_tpu.train import checkpoint as ckpt
     path = str(tmp_path / "c")
     ckpt.save_pytree(path, {"w": jnp.asarray([1.0, 2.0], jnp.float32)})
-    time.sleep(0.05)  # ensure distinguishable mtimes
+    # backdate the npz marker instead of sleeping: sub-second sleeps are
+    # below some filesystems mtime granularity (1s overlay/NFS ticks)
+    stale = os.path.join(path, "structure.json")
+    old = time.time() - 10
+    os.utime(stale, (old, old))
     monkeypatch.setattr(ckpt, "_clear_other_format", lambda *a, **k: None)
     ckpt.save_pytree(path, {"w": jnp.asarray([5.0, 6.0], jnp.float32)},
                      backend="orbax")

@@ -96,7 +96,7 @@ def _ragged_from_packed(tok, lens, cnt):
             for i in range(len(cnt))]
 
 
-def _assert_equal(ours, ref, photo_dir):
+def _assert_equal(ours, ref):
     ref_u, ref_i, ref_ui, ref_photos, ref_ratings = ref.data
     assert len(ours) == len(ref) > 0
 
@@ -133,7 +133,7 @@ def test_amazon_sample_selection_matches_reference(tmp_path, split):
     pj, pd_ = str(tmp_path / "photos.json"), str(tmp_path / "photos")
     ours = build_dataset(csv, pj, pd_, w2v, cfg)
     ref = _ref_dataset(csv, pj, pd_, w2v, cfg)
-    _assert_equal(ours, ref, pd_)
+    _assert_equal(ours, ref)
 
 
 def test_yelp_multiview_sample_selection_matches_reference(tmp_path):
@@ -146,7 +146,7 @@ def test_yelp_multiview_sample_selection_matches_reference(tmp_path):
     pj, pd_ = str(tmp_path / "photos.json"), str(tmp_path / "photos")
     ours = build_dataset(csv, pj, pd_, w2v, cfg)
     ref = _ref_dataset(csv, pj, pd_, w2v, cfg)
-    _assert_equal(ours, ref, pd_)
+    _assert_equal(ours, ref)
     # the view-gap filter actually dropped something, and 'unknown' padding
     # actually occurred (otherwise this test proves nothing)
     assert len(ref) < int(np.sum([len(x) > 0 for x in
@@ -174,7 +174,7 @@ def test_fuzzed_corpora_and_configs_match_reference(tmp_path, seed):
     pj, pd_ = str(tmp_path / "photos.json"), str(tmp_path / "photos")
     ours = build_dataset(csv, pj, pd_, w2v, cfg)
     ref = _ref_dataset(csv, pj, pd_, w2v, cfg)
-    _assert_equal(ours, ref, pd_)
+    _assert_equal(ours, ref)
 
 
 def test_document_level_review_matches_reference(tmp_path):
@@ -188,4 +188,4 @@ def test_document_level_review_matches_reference(tmp_path):
     pj, pd_ = str(tmp_path / "photos.json"), str(tmp_path / "photos")
     ours = build_dataset(csv, pj, pd_, w2v, cfg)
     ref = _ref_dataset(csv, pj, pd_, w2v, cfg)
-    _assert_equal(ours, ref, pd_)
+    _assert_equal(ours, ref)

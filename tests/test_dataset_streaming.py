@@ -21,12 +21,7 @@ WORDS = ("great sound quality album terrible loved fantastic song guitar "
          "drums vocals melody lyric beat bass mix production classic").split()
 
 
-class FakeW2v(Word2vec):
-    def __init__(self, words):
-        self.vocab = [self.PAD, self.UNK, self.NUM] + list(words)
-        self.word2index = {w: i for i, w in enumerate(self.vocab)}
-        self.embedding = np.zeros((len(self.vocab), 4), np.float32)
-        self.word_dim = 4
+from tests.test_native import FakeW2v  # one Word2vec test double
 
 
 def _make_corpus(tmp_path, n_rows=160, n_users=25, n_items=8):

@@ -123,8 +123,6 @@ def test_multi_step_dispatch_equals_single(corpus_dir, tmp_path):
     """steps_per_dispatch=4 must produce the same parameters and losses as
     single-step dispatch (same update order, same rng folding)."""
     import jax
-    from umpr_tpu.train import checkpoint as ckpt
-    from umpr_tpu.models.umpr import init_umpr
 
     def run(k, seed_dir):
         cfg = Config(argv=["--device", "cpu", "--review_net_only", "True",
@@ -145,7 +143,6 @@ def test_multi_step_dispatch_equals_single(corpus_dir, tmp_path):
     t1 = run(1, "m1")
     t4 = run(4, "m4")
     assert t1.batch_counter == t4.batch_counter
-    import jax.numpy as jnp
     for a, b in zip(jax.tree.leaves(t1.trainable), jax.tree.leaves(t4.trainable)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)

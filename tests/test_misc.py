@@ -1,6 +1,8 @@
 """Smaller subsystems: photo downloader validation logic, profiler hook,
 ABAE aspect evaluation, hard-label pair mining, review-level tokenization."""
 
+import os
+
 import numpy as np
 import jax
 
@@ -112,7 +114,7 @@ def test_convert_vgg16_roundtrip(tmp_path):
     reference built from the same weights."""
     import sys
     torch = __import__("pytest").importorskip("torch")
-    sys.path.insert(0, ".")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from tools.convert_vgg16 import convert
     from umpr_tpu.models.visual_net import init_vgg16, vgg16, VGG16_CFG
     from umpr_tpu.train.checkpoint import restore_pytree
