@@ -230,6 +230,36 @@ REVIEW_TP_B = 512  # UMPR-R throughput mode: B=64 is latency-bound (~2.5 ms
                    # kernels fed and amortizes per-dispatch host latency
 
 
+def bench_serving(batch_np, B, compute_dtype="bfloat16", iters=50):
+    """Eval-only (serving) throughput: the no-grad predict path on the
+    composite attention (the production serving path, BENCH_DETAILS.md)."""
+    import jax
+    import jax.numpy as jnp
+    from umpr_tpu.models.umpr import ModelDims, init_umpr
+    from umpr_tpu.train.optim import split_frozen
+    from umpr_tpu.train.step import make_eval_step
+
+    dims = ModelDims(review_net_only=True, compute_dtype=compute_dtype)
+    rng = np.random.default_rng(0)
+    params = init_umpr(jax.random.PRNGKey(0), dims,
+                       rng.standard_normal((VOCAB, EMB)).astype(np.float32))
+    trainable, frozen = split_frozen(params)
+    eval_step = make_eval_step(dims)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    sq, n = eval_step(trainable, frozen, batch)
+    float(sq)  # compile + warm
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            sq, n = eval_step(trainable, frozen, batch)
+        float(sq)
+        best = max(best, B * iters / (time.perf_counter() - t0))
+    return {"batch": B, "dtype": compute_dtype,
+            "samples_per_sec": round(best, 1)}
+
+
 def _require_devices(timeout_s=600):
     """Fail fast (rc=1) when the device attachment is wedged.
 
@@ -267,7 +297,7 @@ def main():
     batch_np = make_batch(rng)
     tpu_sps = bench_tpu(batch_np)
 
-    review_tp = None
+    review_tp = serving = None
     if os.environ.get("UMPR_BENCH_SKIP_FULL") != "1":
         try:
             tp_sps = bench_tpu(make_batch(np.random.default_rng(42), REVIEW_TP_B),
@@ -277,6 +307,12 @@ def main():
                          "samples_per_sec": round(tp_sps, 1)}
         except Exception as e:
             print(f"UMPR-R throughput bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        try:
+            serving = bench_serving(make_batch(np.random.default_rng(42),
+                                               REVIEW_TP_B), REVIEW_TP_B)
+        except Exception as e:
+            print(f"serving bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
     full = full_b128 = None
@@ -317,6 +353,7 @@ def main():
         "unit": "samples/sec",
         "vs_baseline": round(tpu_sps / cpu_sps, 2) if cpu_sps == cpu_sps else None,
         "review_throughput_mode": review_tp,
+        "serving_mode": serving,
         "full_umpr": full,
         "full_umpr_throughput_mode": full_b128,
     }))
