@@ -104,6 +104,42 @@ def test_abae_forward_matches_reference():
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4, atol=1e-5)
 
 
+def test_rnet_cli_end_to_end(tmp_path):
+    """`python -m umpr_tpu.pretrain.rnet` twice: the first run trains ABAE +
+    R-Net and saves both; the second hits the ABAE-restore branch (shape
+    template without the throwaway KMeans) and retrains only the R-Net."""
+    import os
+    import pandas as pd
+    from umpr_tpu.pretrain import rnet as rnet_cli
+    from umpr_tpu.train.checkpoint import restore_pytree
+    from umpr_tpu.models.review_net import init_rnet
+
+    data_dir = tmp_path / "data"
+    os.makedirs(data_dir)
+    rows = [{"userID": f"U{i % 7}", "itemID": f"I{i % 5}",
+             "review": ". ".join(CORPUS[(i + j) % len(CORPUS)]
+                                 for j in range(3)),
+             "rating": float(i % 5 + 1), "user_num": i % 7, "item_num": i % 5}
+            for i in range(40)]
+    pd.DataFrame(rows).to_csv(data_dir / "train.csv", index=False)
+
+    save_abae = str(tmp_path / "abae_ckpt")
+    save_rnet = str(tmp_path / "rnet_ckpt")
+    argv = ["--device", "cpu", "--data_dir", str(data_dir),
+            "--train_epochs", "1", "--batch_size", "32",
+            "--vocab_size", "50", "--aspect_size", "3",
+            "--gru_size", "8", "--emb_dim", "16",
+            "--save_ABAE", save_abae, "--save_rnet", save_rnet]
+    rnet_cli.main(argv)
+    assert os.path.exists(os.path.join(save_abae, "arrays.npz"))
+    like = init_rnet(jax.random.PRNGKey(0), 16, 8)
+    first = restore_pytree(save_rnet, like)
+
+    rnet_cli.main(argv)  # second run: ABAE restored, R-Net retrained
+    second = restore_pytree(save_rnet, like)
+    assert first["M"].shape == second["M"].shape == (16, 16)
+
+
 def test_rnet_pretrain_end_to_end(tmp_path):
     from umpr_tpu.pretrain.rnet import pretrain_r_net
     from umpr_tpu.train.checkpoint import restore_pytree
