@@ -140,6 +140,32 @@ def test_rnet_cli_end_to_end(tmp_path):
     assert first["M"].shape == second["M"].shape == (16, 16)
 
 
+def test_abae_cli_end_to_end(tmp_path):
+    """`python -m umpr_tpu.pretrain.abae` on a train.txt corpus saves a
+    restorable checkpoint (reference pretrain/abae.py __main__ analogue)."""
+    import os
+    from umpr_tpu.pretrain import abae as abae_cli
+    from umpr_tpu.train.checkpoint import restore_pytree
+
+    data_dir = tmp_path / "data"
+    os.makedirs(data_dir)
+    with open(data_dir / "train.txt", "w") as f:
+        f.write("\n".join(CORPUS))
+
+    save = str(tmp_path / "abae_ckpt")
+    abae_cli.main(["--device", "cpu", "--data_dir", str(data_dir),
+                   "--train_epochs", "1", "--batch_size", "64",
+                   "--vocab_size", "50", "--aspect_size", "3",
+                   "--emb_dim", "16", "--save_path", save])
+    assert os.path.exists(os.path.join(save, "arrays.npz"))
+    # corpus vocab: 14 unique words + 3 reserved rows = 17
+    like = jabae.init_abae(jax.random.PRNGKey(0),
+                           np.zeros((17, 16), np.float32), 3, kmeans=False)
+    restored = restore_pytree(save, like)
+    assert restored["aspect"].shape == (3, 16)
+    assert np.isfinite(np.asarray(restored["aspect"])).all()
+
+
 def test_rnet_pretrain_end_to_end(tmp_path):
     from umpr_tpu.pretrain.rnet import pretrain_r_net
     from umpr_tpu.train.checkpoint import restore_pytree
