@@ -1,0 +1,26 @@
+"""Driver artifacts: __graft_entry__.entry() must jit-compile and
+dryrun_multichip(8) must run a full sharded train step.
+
+These are the exact calls the round driver makes; round 1's only red
+artifact was dryrun_multichip, so they are CI-pinned now.  Under the test
+env (conftest provisions 8 virtual CPU devices) the dryrun takes the
+in-process path; the subprocess self-provisioning re-exec is exercised by
+the driver itself on 1-device hosts.
+"""
+
+import numpy as np
+
+import jax
+
+import __graft_entry__ as graft
+
+
+def test_entry_compiles_and_runs():
+    fn, (params, batch) = graft.entry()
+    pred, loss = jax.jit(fn)(params, batch)
+    assert np.asarray(pred).shape == (4,)
+    assert np.isfinite(float(loss))
+
+
+def test_dryrun_multichip_8_devices():
+    graft.dryrun_multichip(8)  # raises on failure
