@@ -1,0 +1,119 @@
+"""Training-dynamics parity in CI: per-epoch MSE trajectory vs the actual
+reference torch implementation, same init / data / batch order /
+hyperparameters.  The full-scale version of this claim (2,400 samples x 6
+epochs, 4-decimal agreement) lives in tools/dynamics_parity.py + PARITY.md;
+this is the fast regression guard for it."""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from umpr_tpu.config import Config
+from umpr_tpu.data.dataset import build_dataset
+from umpr_tpu.data.loader import BatchLoader
+from umpr_tpu.models.umpr import ModelDims, init_umpr
+from umpr_tpu.text.preprocess import process_dataset, AMAZON_COLS
+from umpr_tpu.text.vocab import Word2vec
+from umpr_tpu.train.optim import make_optimizer, split_frozen, lr_at_epoch
+from umpr_tpu.train.step import make_train_step, make_eval_step, evaluate_mse
+
+torch = pytest.importorskip("torch")
+
+WORDS = ("great sound quality album terrible loved fantastic song guitar "
+         "drums vocals melody lyric beat bass mix production classic").split()
+
+EPOCHS, BS, LR, WD, SEED = 2, 16, 0.01, 1e-3, 2
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dyncorpus")
+    rng = random.Random(7)
+    with open(root / "reviews.json", "w") as f:
+        for u in range(40):
+            for it in rng.sample(range(10), 5):
+                sents = [" ".join(rng.choices(WORDS, k=rng.randint(6, 12)))
+                         for _ in range(rng.randint(2, 4))]
+                f.write(repr({"reviewerID": f"U{u}", "asin": f"I{it}",
+                              "reviewText": ". ".join(sents) + ".",
+                              "overall": float(rng.randint(1, 5))}) + "\n")
+    with open(root / "meta.json", "w") as f:
+        for it in range(10):
+            f.write(repr({"asin": f"I{it}", "imUrl": f"http://x/{it}.jpg"}) + "\n")
+    process_dataset(str(root / "reviews.json"), str(root / "meta.json"),
+                    str(root), 0.8, AMAZON_COLS)
+    nprng = np.random.default_rng(0)
+    with open(root / "glove.txt", "w") as f:
+        for w in WORDS:
+            f.write(w + " " + " ".join(
+                f"{x:.4f}" for x in nprng.standard_normal(16)) + "\n")
+    return root
+
+
+def test_per_epoch_mse_tracks_reference(corpus):
+    from tests.ref_oracle import (import_reference_model, patch_improved_rnn,
+                                  load_umpr, batch_to_reference, RefConfig)
+
+    cfg = Config(argv=["--device", "cpu", "--min_sent_count", "1",
+                       "--review_net_only", "True"])
+    w2v = Word2vec(str(corpus / "glove.txt"))
+    ds = build_dataset(str(corpus / "train.csv"), str(corpus / "photos.json"),
+                       str(corpus / "photos"), w2v, cfg)
+    assert len(ds) >= 3 * BS
+    dims = ModelDims(review_net_only=True)
+    params0 = init_umpr(jax.random.PRNGKey(SEED), dims, w2v.embedding)
+
+    # ---- ours ----
+    trainable, frozen = split_frozen(params0)
+    tx = make_optimizer(WD)
+    opt_state = tx.init(trainable)
+    step = make_train_step(dims, tx, donate=False)
+    eval_step = make_eval_step(dims)
+    ours = []
+    for epoch in range(EPOCHS):
+        lr = lr_at_epoch(LR, 0.99, epoch)
+        for b in BatchLoader(ds, BS, shuffle=True, seed=epoch):
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            trainable, opt_state, _, _ = step(trainable, frozen, opt_state,
+                                              b, lr, jax.random.PRNGKey(0))
+        ours.append(evaluate_mse(
+            eval_step, trainable, frozen,
+            ({k: jnp.asarray(v) for k, v in bb.items()}
+             for bb in BatchLoader(ds, BS))))
+
+    # ---- reference torch, same init and same batch order ----
+    ref_mod = import_reference_model()
+    patch_improved_rnn(ref_mod)
+    model = load_umpr(ref_mod, params0, RefConfig(review_net_only=True))
+    opt = torch.optim.Adam([
+        {"params": [p for n, p in model.named_parameters()
+                    if "bias" not in n and p.requires_grad]},
+        {"params": [p for n, p in model.named_parameters()
+                    if "bias" in n and p.requires_grad], "weight_decay": 0.0},
+    ], LR, weight_decay=WD)
+    sch = torch.optim.lr_scheduler.ExponentialLR(opt, 0.99)
+    ref = []
+    for epoch in range(EPOCHS):
+        model.train()
+        for b in BatchLoader(ds, BS, shuffle=True, seed=epoch,
+                             pad_to_full=False):
+            _, loss = model(*batch_to_reference(b))
+            opt.zero_grad(); loss.backward(); opt.step()
+        sch.step()
+        model.eval()
+        tot, cnt = 0.0, 0
+        with torch.no_grad():
+            for b in BatchLoader(ds, BS, pad_to_full=False):
+                pred, _ = model(*batch_to_reference(b))
+                tot += float(((pred - torch.tensor(b["ratings"])) ** 2).sum())
+                cnt += len(b["ratings"])
+        ref.append(tot / cnt)
+
+    # the run must be alive (a dead ReLU head would make this vacuous)
+    assert abs(ours[0] - ours[-1]) > 1e-6, "dead seed: trajectory is flat"
+    np.testing.assert_allclose(ours, ref, rtol=2e-3,
+                               err_msg=f"ours {ours} vs reference {ref}")
