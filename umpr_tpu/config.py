@@ -90,7 +90,11 @@ class Config:
                         # (tools/convert_vgg16.py; reference model.py:204-207 downloads it).
     photo_size = 224  # photo edge length fed to the visual net (reference
                       # hard-codes 224 at dataset.py:137); must be a multiple
-                      # of 32 (VGG16's five 2x2 pools).
+                      # of 32 (VGG16's five 2x2 pools).  Non-224 sizes size
+                      # fc1 to the true conv output (torchvision instead
+                      # adaptive-pools every size to 7x7) -- pretrained
+                      # classifier weights and reference parity hold only
+                      # at 224.
     vgg_fold_w = True  # width-folded VGG block 1 (identical math; fills the
                        # 128-lane TPU tiles that block 1's C=64 half-wastes).
     remat_vgg = False  # rematerialize VGG conv blocks in the backward
