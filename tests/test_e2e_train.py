@@ -86,6 +86,30 @@ def test_fit_test_resume(corpus_dir, tmp_path):
     assert trainer2.batch_counter > trainer.batch_counter
 
 
+def test_fit_shorter_than_eval_every_still_saves_best(corpus_dir, tmp_path):
+    """A run that never crosses an eval_every boundary must still leave a
+    best/ checkpoint (final-eval fallback), so main.py's fit->test flow and
+    a later --test_only run work (found by the TPU-queue trainer A/B, which
+    crashed on restore_best with --eval_every 1000000)."""
+    cfg = Config(argv=["--device", "cpu", "--review_net_only", "True",
+                       "--batch_size", "8", "--train_epochs", "1",
+                       "--eval_every", "1000000", "--learning_rate", "0.01",
+                       "--min_sent_count", "1", "--seed", "2",
+                       "--cache_dataset", "False"])
+    logger = get_logger(logger_name="no-eval-best")
+    w2v = Word2vec(str(corpus_dir / "glove.txt"))
+    mk = lambda split: build_dataset(str(corpus_dir / f"{split}.csv"),
+                                     str(corpus_dir / "photos.json"),
+                                     str(corpus_dir / "photos"), w2v, cfg)
+    model_dir = str(tmp_path / "model")
+    trainer = Trainer(cfg, logger, w2v)
+    trainer.fit(mk("train"), mk("valid"), model_dir)
+    assert os.path.exists(os.path.join(model_dir, "best", "arrays.npz"))
+    assert trainer.best_loss < 100.0  # the fallback eval updated it
+    mse = trainer.test(mk("valid"), model_dir)
+    assert np.isfinite(mse)
+
+
 def test_sharded_embedding_checkpoint_is_mesh_independent(corpus_dir, tmp_path):
     """With --shard_embedding the vocab table is padded to a device-count
     multiple; best/ checkpoints must strip that padding so a default

@@ -39,6 +39,7 @@ lax.scan path to ~1e-5 (tests/test_gru_pallas.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -91,7 +92,13 @@ def _use_stacked_proj(E):
     blocks then occupy padding the hardware pays for anyway.  Beyond that
     (GloVe 100/200/300d) the stacked matmul does 2x the useful MACs, so
     those dims take the per-direction projection + explicit interleave
-    instead (its relayout traffic is the lesser cost there)."""
+    instead (its relayout traffic is the lesser cost there).
+
+    UMPR_GRU_STACKED_PROJ=0/1 overrides (benchmark A/B hook; read at trace
+    time, so set it before the jitted function is first called)."""
+    override = os.environ.get("UMPR_GRU_STACKED_PROJ")
+    if override is not None:
+        return override not in ("0", "false", "False")
     return 2 * E <= _MXU_LANES
 
 

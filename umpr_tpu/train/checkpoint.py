@@ -244,6 +244,16 @@ def load_meta(path):
         return json.load(f)
 
 
+def has_pytree(path):
+    """True when a restorable checkpoint (either backend) exists at path."""
+    return (os.path.exists(os.path.join(path, "structure.json"))
+            or _orbax_restore_dir(path) is not None)
+
+
+def has_best(root):
+    return has_pytree(os.path.join(root, "best"))
+
+
 def save_best(root, params, backend="npz"):
     save_pytree(os.path.join(root, "best"), params, backend)
 

@@ -376,6 +376,24 @@ class Trainer:
             if self.batch_counter > cfg.max_batches:
                 break
 
+        # A run shorter than eval_every never reaches an eval point, so no
+        # best/ checkpoint exists; main.py's fit->test flow (and a later
+        # --test_only run) still needs one.  Evaluate once at end of
+        # training and save it.  Primary decides (non-primary hosts may not
+        # share its filesystem); the eval itself is collective.
+        need_best = "1" if (multihost.is_primary()
+                            and not ckpt.has_best(model_path)) else "0"
+        if multihost.broadcast_str(need_best) == "1":
+            valid_mse = self._evaluate(valid_loader)
+            logger.info(f"Final validation mse is {valid_mse:.6f}")
+            self._metric("eval", epoch=cfg.train_epochs,
+                         batch=self.batch_counter, valid_mse=valid_mse)
+            if multihost.is_primary():
+                ckpt.save_best(model_path, self._checkpoint_params(),
+                               cfg.checkpoint_backend)
+            multihost.barrier("save_best_final")
+            self.best_loss = min(self.best_loss, valid_mse)
+
         second = int(time.perf_counter() - start_time)
         logger.info(f"End of training! Time used {second // 3600}:{second % 3600 // 60}:{second % 60}.")
 
