@@ -149,6 +149,40 @@ def bench_tpu_full(batch_np, B):
             "mfu_vs_v5e_bf16_peak": round(flops / best / V5E_BF16_PEAK, 3)}
 
 
+def bench_serving_full(batch_np, B, iters=20):
+    """Eval-only (serving) throughput of the FULL multi-modal model: the
+    no-grad predict path over 224px photos + VGG16, bf16.  This is the
+    online-scoring configuration (umpr_tpu/serve.py) at its device-side
+    ceiling; an int8-quantized variant was probed and rejected (XLA-TPU
+    int8 conv measured ~1.04x bf16 on v5e -- see NOTES.md)."""
+    import jax
+    import jax.numpy as jnp
+    from umpr_tpu.models.umpr import ModelDims, init_umpr
+    from umpr_tpu.train.optim import split_frozen
+    from umpr_tpu.train.step import make_eval_step
+
+    dims = ModelDims(review_net_only=False, view_size=1,
+                     photo_size=FULL_IMG, compute_dtype="bfloat16")
+    rng = np.random.default_rng(0)
+    params = init_umpr(jax.random.PRNGKey(0), dims,
+                       rng.standard_normal((VOCAB, EMB)).astype(np.float32))
+    trainable, frozen = split_frozen(params)
+    eval_step = make_eval_step(dims)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    sq, n = eval_step(trainable, frozen, batch)
+    float(sq)  # compile + warm
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            sq, n = eval_step(trainable, frozen, batch)
+        float(sq)
+        best = max(best, B * iters / (time.perf_counter() - t0))
+    return {"batch": B, "dtype": "bfloat16",
+            "samples_per_sec": round(best, 1)}
+
+
 def bench_torch_cpu_full(steps=2, B=4):
     """Reference full UMPR on torch CPU.  B=4 keeps a step tractable on this
     1-vCPU host; samples/sec normalizes the batch-size difference (smaller B
@@ -315,13 +349,19 @@ def main():
             print(f"serving bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
-    full = full_b128 = None
+    full = full_b128 = full_serving = None
     if os.environ.get("UMPR_BENCH_SKIP_FULL") != "1":
         try:
             full = bench_tpu_full(make_full_batch(np.random.default_rng(3),
                                                   FULL_B), FULL_B)
         except Exception as e:
             print(f"full-UMPR bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        try:
+            full_serving = bench_serving_full(
+                make_full_batch(np.random.default_rng(3), FULL_B), FULL_B)
+        except Exception as e:
+            print(f"full-UMPR serving bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
         if full is not None:
             # throughput mode: B=128 amortizes the f32 grad/Adam traffic of
@@ -356,6 +396,7 @@ def main():
         "serving_mode": serving,
         "full_umpr": full,
         "full_umpr_throughput_mode": full_b128,
+        "full_umpr_serving": full_serving,
     }))
 
 
