@@ -71,10 +71,53 @@ def test_backward_under_jit_and_row_tiling():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_proj_mode_selection():
+    """Default mode is fused while the stacked contraction fits one MXU lane
+    tile (2E <= 128), wide beyond; env hooks override (trace-time)."""
+    import os
+    from umpr_tpu.ops.gru_pallas import _proj_mode
+    assert _proj_mode(50) == "fused" and _proj_mode(64) == "fused"
+    assert _proj_mode(72) == "wide"
+    os.environ["UMPR_GRU_PROJ"] = "stacked"
+    try:
+        assert _proj_mode(50) == "stacked"
+        assert _proj_mode(72) == "wide"  # precondition still binds
+    finally:
+        del os.environ["UMPR_GRU_PROJ"]
+
+
+def test_stacked_mode_matches_scan():
+    """The pre-fused xg path (UMPR_GRU_PROJ=stacked) stays correct: values
+    and all gradients against the scan.  Distinct shapes from the fused
+    tests so no jit cache can alias traces across env settings."""
+    import os
+    os.environ["UMPR_GRU_PROJ"] = "stacked"
+    try:
+        params, x, lengths = _setup(7, N=17, L=9, E=7, H=8)
+        y_p = bigru_pallas(params, x, lengths)
+        y_s = bigru_scan(params, x, lengths)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_s),
+                                   rtol=1e-5, atol=1e-6)
+
+        def loss(fn):
+            return lambda p, xx: jnp.sum(jnp.sin(fn(p, xx, lengths)))
+        (gp, gx_p) = jax.grad(loss(bigru_pallas), argnums=(0, 1))(params, x)
+        (gs, gx_s) = jax.grad(loss(bigru_scan), argnums=(0, 1))(params, x)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_s),
+                                   rtol=1e-4, atol=1e-5)
+        for d in ("fwd", "bwd"):
+            for k in ("w_ih", "w_hh", "bias_ih", "bias_hh"):
+                np.testing.assert_allclose(
+                    np.asarray(gp[d][k]), np.asarray(gs[d][k]),
+                    rtol=1e-4, atol=1e-5, err_msg=f"{d}/{k}")
+    finally:
+        del os.environ["UMPR_GRU_PROJ"]
+
+
 def test_wide_embedding_per_direction_projection():
     """E > 64 routes the input projection through the per-direction path
-    (the stacked (2E, 6H) form would double the useful MACs past one MXU
-    lane tile); forward and all gradients must still match the scan."""
+    (the stacked/fused (2E, 6H) form would double the useful MACs past one
+    MXU lane tile); forward and all gradients must still match the scan."""
     from umpr_tpu.ops.gru_pallas import _use_stacked_proj
     params, x, lengths = _setup(4, N=12, L=5, E=72, H=8)
     assert not _use_stacked_proj(72) and _use_stacked_proj(64)

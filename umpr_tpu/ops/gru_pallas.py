@@ -2,15 +2,21 @@
 
 Forward design (see /opt/skills/guides/pallas_guide.md):
 
-- Input projections for the whole sequence are ONE large (N*L, 2E) @
-  (2E, 6H) MXU matmul done by XLA outside the kernel: x is stacked with its
-  time-flipped copy on the feature axis and multiplied by a block-structured
-  weight (fwd rows feed fwd lanes, bwd rows feed bwd lanes), so the output
-  lands directly in the kernel's (N, L*6H) column layout
-  [r_f r_b | z_f z_b | n_f n_b] per timestep -- no post-matmul gate
-  interleave of 6H-wide tensors (which profiled as ~177 MB of relayout
-  traffic per UMPR-R step before this layout).  The zero blocks are free:
-  2E = 100 still fits one 128-lane MXU contraction tile.
+- Input projection runs in a dedicated PALLAS MATMUL KERNEL (default while
+  2E <= 128, see _proj_mode): xg = xc @ W_blk + b over (row tile, timestep)
+  blocks of the (N, L*128) stacked-input stream, against a block-structured
+  weight (fwd rows feed fwd lanes, bwd rows feed bwd lanes), emitting the
+  interleaved gate layout [r_f r_b | z_f z_b | n_f n_b] in the row-major
+  {1,0} layout the GRU kernel streams.  XLA's own projection matmul emits
+  {0,1} and inserts full-tensor relayout copies at the kernel boundary --
+  profiled at ~10% of the UMPR-R bf16 step together with the separate
+  backward contractions.  x arrives stacked with its time-flipped copy
+  ([x_f | x_b | 0-pad] = _build_xc), so the weight's zero blocks cost only
+  the lane padding the MXU pays for anyway.
+  (The pre-fusion layout -- ONE (N*L, 2E) @ (2E, 6H) XLA matmul emitting
+  (N, L*6H) -- is kept as _proj_mode "stacked" for A/B; wide embeddings
+  2E > 128 keep per-direction projections + interleave, where the stacked
+  form's zero blocks would cost real MACs.)
 - BOTH directions run in the SAME time loop: the backward direction is
   expressed in reversed time (combined step tau processes original position
   L-1-tau for the bwd lanes), so the carried state is one (R, 2H) block and
@@ -31,9 +37,12 @@ Backward: a second kernel sweeps the combined time axis in reverse,
 rematerializing the gates from the saved post-step states (one extra
 (R, 2H) @ (2H, 6H) matmul per step instead of storing gate tensors),
 accumulating dW_hh/db_hh in VMEM scratch across the sweep and emitting the
-per-step gate gradients dxg; the dx / dW_ih / db_ih contractions are large
-single MXU matmuls done by XLA outside.  Verified against jax.grad of the
-lax.scan path to ~1e-5 (tests/test_gru_pallas.py).
+per-step gate gradients dxg; the projection-backward Pallas kernel then
+consumes dxg in its native {1,0} layout -- dxc = dxg @ W^T plus the
+dW_ih/db_ih accumulation in one row-tile sweep, so no relayout copies or
+separate XLA contractions remain (non-fused modes let XLA do those
+contractions outside).  Verified against jax.grad of the lax.scan path to
+~1e-5 (tests/test_gru_pallas.py).
 """
 
 from __future__ import annotations
@@ -86,20 +95,47 @@ _block_diag_whh = _block_diag  # (H, 3H) x2 -> (2H, 6H) recurrent case
 _MXU_LANES = 128
 
 
-def _use_stacked_proj(E):
-    """The stacked (2E, 6H) projection is free only while the doubled
-    contraction dim still fits one MXU lane tile (2E <= 128): the zero
-    blocks then occupy padding the hardware pays for anyway.  Beyond that
-    (GloVe 100/200/300d) the stacked matmul does 2x the useful MACs, so
-    those dims take the per-direction projection + explicit interleave
-    instead (its relayout traffic is the lesser cost there).
+def _proj_mode(E):
+    """How the input projection xg = x @ W_ih + b_ih reaches the kernels.
 
-    UMPR_GRU_STACKED_PROJ=0/1 overrides (benchmark A/B hook; read at trace
-    time, so set it before the jitted function is first called)."""
-    override = os.environ.get("UMPR_GRU_STACKED_PROJ")
-    if override is not None:
-        return override not in ("0", "false", "False")
-    return 2 * E <= _MXU_LANES
+    - "fused" (default while 2E <= 128): dedicated Pallas matmul kernels
+      compute the projection (fwd) and the dxc/dW_ih/db_ih contractions
+      (bwd) over (row tile, timestep) blocks of the (N, L*128) stacked
+      stream, producing/consuming the GRU kernels' row-major {1,0} layout
+      and (N, L*width) shapes directly (row-splitting reshapes are NOT
+      bitcasts under TPU tiling -- see _build_xc).  XLA's own projection matmul emits {0,1} and inserts
+      full-tensor relayout copies at the kernel boundary (profiled at ~10%
+      of the UMPR-R bf16 step together with the separate backward
+      contractions); a per-timestep in-kernel projection was also measured
+      and is NOT this mode -- its small per-step dots paid ~5us of issue/
+      stall latency each, eating exactly what the copies cost.
+    - "stacked": the pre-fused-projection layout -- ONE (N*L, 2E) @
+      (2E, 6H) XLA matmul emitting the interleaved gate layout (kept as an
+      A/B reference; measured on TPU 2026-08-18).
+    - "wide" (2E > 128, i.e. GloVe 100/200/300d): per-direction projections
+      + explicit interleave; the stacked/fused zero blocks would double the
+      useful MACs past one MXU lane tile.
+
+    UMPR_GRU_PROJ=fused/stacked/wide overrides; the legacy
+    UMPR_GRU_STACKED_PROJ=0/1 hook still forces wide/stacked.  Both are
+    read at trace time: set them before the jitted function first runs."""
+    override = os.environ.get("UMPR_GRU_PROJ")
+    if override in ("fused", "stacked", "wide"):
+        if override != "wide" and 2 * E > _MXU_LANES:
+            return "wide"
+        return override
+    legacy = os.environ.get("UMPR_GRU_STACKED_PROJ")
+    if legacy is not None:
+        if legacy in ("0", "false", "False") or 2 * E > _MXU_LANES:
+            return "wide"
+        return "stacked"
+    return "fused" if 2 * E <= _MXU_LANES else "wide"
+
+
+def _use_stacked_proj(E):
+    """Legacy predicate: does the xg-based path use the stacked layout?
+    (The fused path bypasses xg entirely; see _proj_mode.)"""
+    return _proj_mode(E) != "wide"
 
 
 def _make_valid(lengths, tau, H, L, rows):
@@ -202,6 +238,181 @@ def _stack_time(x):
     return jnp.concatenate([x, x[:, ::-1]], axis=-1)
 
 
+# ----------------------------------------- Pallas-projected input (fused)
+# The GRU kernels consume/emit xg / dxg in plain row-major {1,0}; XLA's
+# projection matmul however emits {0,1} and inserts full-tensor relayout
+# copies at the kernel boundary (profiled at ~10% of the UMPR-R bf16 step,
+# with the separate dW_ih/dx contractions adding more).  These projection
+# kernels compute the SAME matmuls in Pallas over (row tile, timestep)
+# blocks of the (N, L*C) stream, so the {1,0} layout is produced/consumed
+# directly -- no copies, and the backward folds dW_ih/db_ih accumulation
+# into the same sweep that computes the input-stream gradient.
+# (A fully fused variant -- projecting per timestep INSIDE the GRU kernels
+# -- measured device-neutral: each small per-step dot pays ~5us of issue/
+# stall latency, eating exactly what the dead copies cost.  Big-tile
+# projection kernels amortize that overhead away.)
+#
+# x arrives stacked ([x_f | x_b(flipped) | zero pad]) and padded to one MXU
+# lane tile (_PROJ_C columns), so blocks stay 128-aligned and the
+# block-diagonal weight's zero rows cost only padding the MXU pays for
+# anyway (2E <= 128 is the mode's precondition, see _proj_mode).
+
+_PROJ_C = _MXU_LANES
+
+
+def _proj_rows(dtype):
+    """Projection row tile, bounded by the 16 MB scoped-VMEM budget: the
+    backward holds (R, 6H) + 2x(R, C) blocks double-buffered plus the
+    (C, 6H) f32 accumulators (R=2048 f32 measured 24 MB > 16 MB)."""
+    return 2048 if jnp.dtype(dtype).itemsize <= 2 else 1024
+
+
+def _build_xc(x, E):
+    """(N, L, E) -> (N, L*_PROJ_C) stacked + zero-padded input stream.
+
+    Shapes stay (N, L*width) END TO END through the projection and GRU
+    kernels: on TPU's (8, 128)-tiled layouts a reshape that splits the row
+    dimension ((N, L*w) <-> (N*L, w)) is NOT a bitcast -- XLA materializes
+    it as a full-tensor copy, which is exactly the traffic these kernels
+    exist to avoid (measured: 1.4 + 0.7 ms per 20 steps when the projection
+    kernels briefly used flat (N*L, w) shapes)."""
+    N, L = x.shape[0], x.shape[1]
+    xc = _stack_time(x)
+    if 2 * E < _PROJ_C:
+        xc = jnp.pad(xc, ((0, 0), (0, 0), (0, _PROJ_C - 2 * E)))
+    return xc.reshape(N, L * _PROJ_C)
+
+
+def _proj_weights(params, H, E):
+    """Block-diagonal (C, 6H) weight + (1, 6H) bias in the interleaved gate
+    layout, rows zero-padded to the lane tile."""
+    w = _block_diag(params["fwd"]["w_ih"], params["bwd"]["w_ih"], H)
+    if 2 * E < _PROJ_C:
+        w = jnp.pad(w, ((0, _PROJ_C - 2 * E), (0, 0)))
+    b = _interleave_gates(params["fwd"]["bias_ih"],
+                          params["bwd"]["bias_ih"], H).reshape(1, -1)
+    return w, b
+
+
+def _xg_precision(io):
+    # f32 path: 3-pass HIGHEST keeps the projection at full f32 accuracy
+    # (and fwd/bwd remat consistency is exact either way -- both kernels run
+    # the same dot on the same operands).  bf16 operands reject HIGHEST;
+    # their native MXU mode already accumulates in f32.
+    return (jax.lax.Precision.HIGHEST if io == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def _proj_fwd_kernel(xc_ref, wih_ref, bih_ref, xg_ref):
+    prec = _xg_precision(wih_ref.dtype)
+    xg_ref[:] = (jnp.dot(xc_ref[:], wih_ref[:],
+                         preferred_element_type=jnp.float32, precision=prec)
+                 + bih_ref[:].astype(jnp.float32)).astype(xg_ref.dtype)
+
+
+def _pallas_project_fwd(xc, wih, bih, H, N, L):
+    """(N, L*C) -> (N, L*6H): per (row tile, timestep) block one
+    (R, C) @ (C, 6H) + b matmul, emitted in the row-major {1,0} layout the
+    GRU kernel streams -- no relayout copy can appear between them."""
+    R = min(N, _proj_rows(xc.dtype))
+    io = xc.dtype
+    return pl.pallas_call(
+        _proj_fwd_kernel,
+        grid=(pl.cdiv(N, R), L),
+        in_specs=[
+            pl.BlockSpec((R, _PROJ_C), lambda i, t: (i, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, 6 * H), lambda i, t: (i, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, L * 6 * H), io),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * L * _PROJ_C * 6 * H,
+            bytes_accessed=xc.dtype.itemsize * N * L * (_PROJ_C + 6 * H),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(xc, wih, bih)
+
+
+def _proj_bwd_kernel(dxg_ref, xc_ref, wih_t_ref, dxc_ref, dwih_ref, dbih_ref,
+                     dw_scr, db_scr, *, N, R, L):
+    """One sweep over (row tile, timestep) blocks: dxc = dxg @ W^T, with
+    dW_ih = xc^T @ dxg and db_ih = sum(dxg) accumulated in VMEM scratch
+    (sequential grid)."""
+    i, t = pl.program_id(0), pl.program_id(1)
+
+    @pl.when((i == 0) & (t == 0))
+    def _():
+        dw_scr[:] = jnp.zeros_like(dw_scr)
+        db_scr[:] = jnp.zeros_like(db_scr)
+
+    io = dxg_ref.dtype
+    prec = _xg_precision(io)
+    rows = dxg_ref.shape[0]
+    # the last row tile's padding rows read garbage blocks; zero BOTH
+    # operands (0 * NaN = NaN would poison the weight accumulators)
+    real = ((jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) + i * R) < N)
+    dxg = jnp.where(real, dxg_ref[:], jnp.zeros_like(dxg_ref[:]))
+    x = jnp.where(real, xc_ref[:], jnp.zeros_like(xc_ref[:]))
+
+    dxc_ref[:] = jnp.dot(dxg, wih_t_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=prec).astype(io)
+    dw_scr[0] += jax.lax.dot_general(
+        x, dxg, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    db_scr[0] += jnp.sum(dxg.astype(jnp.float32), axis=0, keepdims=True)
+
+    @pl.when((i == pl.num_programs(0) - 1) & (t == L - 1))
+    def _():
+        dwih_ref[:] = dw_scr[:]
+        dbih_ref[:] = db_scr[:]
+
+
+def _pallas_project_bwd(dxg, xc, wih, H, N, L):
+    """-> (dxc (N, L*C), dW_blk (C, 6H) f32, db_blk (6H,) f32), consuming
+    dxg (N, L*6H) in the GRU backward kernel's native {1,0} layout."""
+    R = min(N, _proj_rows(xc.dtype))
+    io = xc.dtype
+    kernel = functools.partial(_proj_bwd_kernel, N=N, R=R, L=L)
+    dxc, dwih, dbih = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(N, R), L),
+        in_specs=[
+            pl.BlockSpec((R, 6 * H), lambda i, t: (i, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, _PROJ_C), lambda i, t: (i, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, _PROJ_C), lambda i, t: (i, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _PROJ_C, 6 * H), lambda i, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 6 * H), lambda i, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, L * _PROJ_C), io),
+            jax.ShapeDtypeStruct((1, _PROJ_C, 6 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, 6 * H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, _PROJ_C, 6 * H), jnp.float32),
+            pltpu.VMEM((1, 1, 6 * H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),  # accumulators
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * N * L * _PROJ_C * 6 * H,
+            bytes_accessed=xc.dtype.itemsize * N * L * (2 * _PROJ_C + 6 * H),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(dxg, xc, wih.T)
+    return dxc, dwih[0], dbih[0, 0]
+
+
 def _build_xg(params, x, H):
     """Input projections for both directions as ONE stacked matmul whose
     output is already in the kernel's interleaved gate layout.  Replaces
@@ -231,12 +442,23 @@ def _unflip(y_cat, N, L, H):
 
 def _bigru_pallas_fwd_impl(params, x, lengths, emit_hs=False):
     """f32 IO computes everything in f32 (exact-parity path); bf16 IO keeps
-    xg / y / hs streams and matmul operands in bf16 (f32 accumulation and
-    f32 carried state inside the kernel) -- the mixed-precision path."""
+    the input / y / hs streams and matmul operands in bf16 (f32 accumulation
+    and f32 carried state inside the kernel) -- the mixed-precision path.
+
+    Returns (y, (stream, hs_cat)) where stream is the saved-for-backward
+    input tensor: the stacked x stream xc in fused-projection mode, the
+    projected gate tensor xg otherwise (see _proj_mode)."""
     N, L, E = x.shape
     H = params["fwd"]["w_hh"].shape[0]
     if x.dtype != jnp.float32:
         params = jax.tree.map(lambda a: a.astype(x.dtype), params)
+    if _proj_mode(E) == "fused":
+        xc = _build_xc(x, E)                                    # (N, L*C)
+        wih, bih = _proj_weights(params, H, E)
+        xg = _pallas_project_fwd(xc, wih, bih, H, N, L)
+        y_cat, hs_cat = _pallas_forward(params, xg, lengths, N, L, H, emit_hs)
+        y = _unflip(y_cat, N, L, H)
+        return y, ((xc, xg), hs_cat)
     xg = _build_xg(params, x, H)
     y_cat, hs_cat = _pallas_forward(params, xg, lengths, N, L, H, emit_hs)
     y = _unflip(y_cat, N, L, H)
@@ -390,12 +612,79 @@ def bigru_pallas(params, x, lengths):
 
 
 def _vjp_fwd(params, x, lengths):
-    y, (xg, hs_cat) = _bigru_pallas_fwd_impl(params, x, lengths, emit_hs=True)
-    return y, (params, x, lengths, xg, hs_cat)
+    y, (stream, hs_cat) = _bigru_pallas_fwd_impl(params, x, lengths,
+                                                 emit_hs=True)
+    # fused mode saves the (stacked, padded) x stream + xg; x itself is
+    # then not needed as a residual
+    x_res = None if _proj_mode(x.shape[2]) == "fused" else x
+    return y, (params, x_res, lengths, stream, hs_cat)
+
+
+def _vjp_bwd_fused(params, lengths, stream, hs_cat, dy):
+    """Backward for the fused-projection mode: the standard GRU backward
+    kernel emits dxg {1,0}, then the projection-backward kernel consumes it
+    in place -- dxc = dxg @ W^T plus the dW_ih/db_ih accumulation in one
+    sweep.  No relayout copies, no separate XLA contractions; outside work
+    is only the tiny block unpacking plus the dx un-stack."""
+    xc, xg = stream                      # (N, L*C) and (N, L*6H)
+    in_dtype = xg.dtype
+    p32 = jax.tree.map(lambda a: a.astype(in_dtype), params)
+    H = params["fwd"]["w_hh"].shape[0]
+    E = params["fwd"]["w_ih"].shape[0]
+    N = xg.shape[0]
+    L = xg.shape[1] // (6 * H)
+
+    dy = dy.astype(in_dtype)
+    dy_cat = jnp.concatenate([dy[..., :H], dy[:, ::-1, H:]], axis=-1)
+    dy_cat = dy_cat.reshape(N, L * 2 * H)
+
+    dxg_cat, dw_blk, db_blk = _pallas_backward(
+        p32, xg, hs_cat, dy_cat, lengths, N, L, H)
+    wih, _ = _proj_weights(p32, H, E)
+    dxc_cat, dwih_blk, dbih_blk = _pallas_project_bwd(
+        dxg_cat, xc, wih, H, N, L)
+
+    def blk_f(g):
+        return dw_blk[0:H, 2 * g * H:(2 * g + 1) * H]
+    def blk_b(g):
+        return dw_blk[H:2 * H, (2 * g + 1) * H:(2 * g + 2) * H]
+    dw_hh_f = jnp.concatenate([blk_f(g) for g in range(3)], axis=1)
+    dw_hh_b = jnp.concatenate([blk_b(g) for g in range(3)], axis=1)
+    db_hh_f, db_hh_b = _deinterleave(db_blk, H)
+
+    # input-projection grads come straight out of the kernel's block-diag
+    # accumulators: rows [0, E) feed the fwd lanes, [E, 2E) the bwd lanes
+    # (rows beyond 2E are the lane padding -- provably zero, dropped)
+    dw_ih_f = jnp.concatenate(
+        [dwih_blk[:E, 2 * g * H:(2 * g + 1) * H] for g in range(3)], axis=1)
+    dw_ih_b = jnp.concatenate(
+        [dwih_blk[E:2 * E, (2 * g + 1) * H:(2 * g + 2) * H] for g in range(3)],
+        axis=1)
+    db_ih_f, db_ih_b = _deinterleave(dbih_blk, H)
+
+    # dxc columns [0, E) are true-time (fwd lanes), [E, 2E) flipped-time
+    # (bwd lanes), matching _build_xc's stacking; columns past 2E are the
+    # lane padding
+    dxc = dxc_cat.reshape(N, L, _PROJ_C)
+    dx = dxc[..., :E] + dxc[..., E:2 * E][:, ::-1]
+
+    dparams = {
+        "fwd": {"w_ih": dw_ih_f, "w_hh": dw_hh_f,
+                "bias_ih": db_ih_f, "bias_hh": db_hh_f},
+        "bwd": {"w_ih": dw_ih_b, "w_hh": dw_hh_b,
+                "bias_ih": db_ih_b, "bias_hh": db_hh_b},
+    }
+    dparams = jax.tree.map(
+        lambda g, p: g.astype(p.dtype), dparams,
+        {k: params[k] for k in ("fwd", "bwd")})
+    return dparams, dx.astype(in_dtype), None
 
 
 def _vjp_bwd(res, dy):
-    params, x, lengths, xg, hs_cat = res
+    params, x, lengths, stream, hs_cat = res
+    if _proj_mode(params["fwd"]["w_ih"].shape[0]) == "fused":
+        return _vjp_bwd_fused(params, lengths, stream, hs_cat, dy)
+    xg = stream
     in_dtype = x.dtype
     x32 = x  # io dtype throughout: f32 exact path or bf16 mixed precision
     p32 = jax.tree.map(lambda a: a.astype(in_dtype), params)
