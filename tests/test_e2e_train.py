@@ -86,6 +86,58 @@ def test_fit_test_resume(corpus_dir, tmp_path):
     assert trainer2.batch_counter > trainer.batch_counter
 
 
+def test_mid_epoch_checkpoint_resume_is_bit_exact(corpus_dir, tmp_path):
+    """--save_every_batches + an interruption mid-epoch: the resumed run
+    fast-forwards the epoch's deterministic batch order to the saved offset
+    and finishes with BIT-IDENTICAL parameters to an uninterrupted run
+    (dropout keys derive from the global batch counter, shuffle order from
+    the per-epoch seed, so no loop state is lost with the process)."""
+    def make_cfg(extra):
+        return Config(argv=["--device", "cpu", "--review_net_only", "True",
+                            "--batch_size", "8", "--train_epochs", "2",
+                            "--eval_every", "4", "--learning_rate", "0.01",
+                            "--min_sent_count", "1", "--seed", "2",
+                            "--cache_dataset", "False"] + extra)
+
+    logger = get_logger(logger_name="mid-epoch-resume")
+    w2v = Word2vec(str(corpus_dir / "glove.txt"))
+    cfg = make_cfg([])
+    mk = lambda split: build_dataset(str(corpus_dir / f"{split}.csv"),
+                                     str(corpus_dir / "photos.json"),
+                                     str(corpus_dir / "photos"), w2v, cfg)
+    train_ds, valid_ds = mk("train"), mk("valid")
+    batches_per_epoch = (len(train_ds) + 7) // 8
+    assert batches_per_epoch >= 3  # the interruption must be mid-epoch
+
+    # uninterrupted reference run
+    ref_dir = str(tmp_path / "ref")
+    t_ref = Trainer(make_cfg([]), logger, w2v)
+    t_ref.fit(train_ds, valid_ds, ref_dir)
+
+    # interrupted run: save every 2 batches, die mid-epoch-0
+    mid_dir = str(tmp_path / "mid")
+    stop_at = batches_per_epoch - 1
+    t_a = Trainer(make_cfg(["--save_every_batches", "2"]), logger, w2v)
+    t_a.fit(train_ds, valid_ds, mid_dir, _stop_after_batches=stop_at)
+    import json
+    with open(os.path.join(mid_dir, "last", "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["epoch"] == 0 and 0 < meta["batch_in_epoch"] < batches_per_epoch
+
+    # resume and finish
+    t_b = Trainer(make_cfg(["--save_every_batches", "2",
+                            "--resume_path", mid_dir]), logger, w2v)
+    assert t_b.start_epoch == 0
+    assert t_b.start_batch_in_epoch == meta["batch_in_epoch"]
+    t_b.fit(train_ds, valid_ds, mid_dir)
+
+    assert t_b.batch_counter == t_ref.batch_counter
+    import jax
+    for a, b in zip(jax.tree.leaves(t_b.trainable),
+                    jax.tree.leaves(t_ref.trainable)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fit_shorter_than_eval_every_still_saves_best(corpus_dir, tmp_path):
     """A run that never crosses an eval_every boundary must still leave a
     best/ checkpoint (final-eval fallback), so main.py's fit->test flow and

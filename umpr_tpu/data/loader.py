@@ -28,7 +28,8 @@ from umpr_tpu.data.images import load_photo_batch, PhotoCache
 class BatchLoader:
     def __init__(self, dataset, batch_size, shuffle=False, ignore_photos=True,
                  seed=0, resize=(224, 224), workers=0, pad_to_full=True,
-                 photo_cache=None, photo_cache_bytes=2 << 30, photo_rows=None):
+                 photo_cache=None, photo_cache_bytes=2 << 30, photo_rows=None,
+                 start_batch=0):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -42,6 +43,10 @@ class BatchLoader:
             "photo_rows indexes the full padded batch; with pad_to_full="
             "False a final partial batch would silently mis-slice it")
         self.photo_rows = photo_rows
+        # skip the first start_batch batches of this (seed-deterministic)
+        # epoch order: mid-epoch resume fast-forwards to the saved offset
+        # without decoding the skipped batches' photos
+        self.start_batch = start_batch
         self._rng = np.random.default_rng(seed)
         self._executor = ThreadPoolExecutor(max_workers=workers) if workers > 0 else None
         if photo_cache is None and not ignore_photos and photo_cache_bytes > 0:
@@ -93,7 +98,7 @@ class BatchLoader:
         order = np.arange(n)
         if self.shuffle:
             self._rng.shuffle(order)
-        for start in range(0, n, self.batch_size):
+        for start in range(self.start_batch * self.batch_size, n, self.batch_size):
             yield self._make_batch(order[start:start + self.batch_size])
 
 

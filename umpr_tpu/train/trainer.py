@@ -111,6 +111,7 @@ class Trainer:
 
         self.batch_counter = 0
         self.start_epoch = 0
+        self.start_batch_in_epoch = 0
         self.best_loss = 100.0
         if config.resume_path:
             if jax.process_count() > 1:
@@ -144,9 +145,17 @@ class Trainer:
             self.opt_state = jax.device_put(self.opt_state, self.rep)
             self.batch_counter = meta["batch_counter"]
             self.start_epoch = meta["epoch"]
+            # mid-epoch checkpoints (--save_every_batches) record the batch
+            # offset within the epoch; fit() fast-forwards the deterministic
+            # loader order to it, making the resumed run bit-identical to an
+            # uninterrupted one (older checkpoints lack the key -> 0)
+            self.start_batch_in_epoch = meta.get("batch_in_epoch", 0)
             self.best_loss = meta["best_loss"]
-            self.logger.info(f"Resumed from {config.resume_path} at epoch "
-                             f"{self.start_epoch}, batch {self.batch_counter}.")
+            self.logger.info(
+                f"Resumed from {config.resume_path} at epoch "
+                f"{self.start_epoch}, batch {self.batch_counter}"
+                + (f" (+{self.start_batch_in_epoch} into the epoch)"
+                   if self.start_batch_in_epoch else "") + ".")
 
     # ------------------------------------------------------------------
     def _place_frozen(self, frozen):
@@ -177,7 +186,7 @@ class Trainer:
         frozen = {"embedding": self._host_embedding[: self._vocab_rows]}
         return merge_params(self.trainable, frozen)
 
-    def _loader(self, dataset, shuffle=False, seed=0):
+    def _loader(self, dataset, shuffle=False, seed=0, start_batch=0):
         cfg = self.config
         if not hasattr(self, "_photo_cache"):
             from umpr_tpu.data.images import PhotoCache
@@ -193,7 +202,7 @@ class Trainer:
                            workers=cfg.data_workers,
                            photo_cache=self._photo_cache,
                            photo_cache_bytes=cfg.photo_cache_mb << 20,
-                           photo_rows=photo_rows)
+                           photo_rows=photo_rows, start_batch=start_batch)
 
     def _device_batches(self, loader):
         return prefetch_to_device(iter(loader), self.dp,
@@ -262,7 +271,10 @@ class Trainer:
             self.logger.info(f"metrics_jsonl write failed: {e}")
 
     # ------------------------------------------------------------------
-    def fit(self, train_data, valid_data, model_path):
+    def fit(self, train_data, valid_data, model_path, _stop_after_batches=0):
+        """_stop_after_batches: test-only hook -- return after this many
+        batches (counted this call), simulating an interruption at an exact
+        point so mid-epoch resume can be asserted bit-identical."""
         cfg, logger = self.config, self.logger
         logger.info("Start to train!")
         valid_loader = self._loader(valid_data)
@@ -271,11 +283,19 @@ class Trainer:
         self._metric("eval", epoch=self.start_epoch, batch=self.batch_counter,
                      valid_mse=valid_mse)
         start_time = time.perf_counter()
+        batches_this_call = 0
 
         profiled = False
         for epoch in range(self.start_epoch, cfg.train_epochs):
             lr = lr_at_epoch(cfg.learning_rate, cfg.lr_decay, epoch)
-            train_loader = self._loader(train_data, shuffle=True, seed=cfg.seed + epoch)
+            # a mid-epoch resume fast-forwards the FIRST epoch's
+            # deterministic order to the saved offset
+            epoch_offset = (self.start_batch_in_epoch
+                            if epoch == self.start_epoch else 0)
+            batch_in_epoch = epoch_offset
+            train_loader = self._loader(train_data, shuffle=True,
+                                        seed=cfg.seed + epoch,
+                                        start_batch=epoch_offset)
             # Accumulate loss/sample counts as LAZY device scalars: reading
             # them every step would synchronize the dispatch pipeline (the
             # reference's loss.item() per batch, main.py:39); we only sync
@@ -283,9 +303,12 @@ class Trainer:
             total_loss, total_samples = 0.0, 0.0
 
             def after_steps(n_steps):
-                nonlocal total_loss, total_samples, profiled
+                nonlocal total_loss, total_samples, profiled, batch_in_epoch
+                nonlocal batches_this_call
                 before = self.batch_counter
                 self.batch_counter += n_steps
+                batch_in_epoch += n_steps
+                batches_this_call += n_steps
                 # stop only a trace this run actually started, once it has
                 # covered >= 4 steps (with steps_per_dispatch > 4 that is
                 # one chunk; the old absolute >= 6 gate never started a
@@ -319,14 +342,31 @@ class Trainer:
                         # move on to a read (test()/resume)
                         multihost.barrier(f"save_best_{self.batch_counter}")
                         self.best_loss = valid_mse
+                # mid-epoch durability (--save_every_batches): the saved
+                # batch_in_epoch offset lets resume fast-forward this
+                # epoch's deterministic order and continue bit-exactly
+                if (cfg.save_every_batches and
+                        self.batch_counter // cfg.save_every_batches
+                        > before // cfg.save_every_batches):
+                    if multihost.is_primary():
+                        ckpt.save_last(model_path, self.trainable,
+                                       self.opt_state,
+                                       backend=cfg.checkpoint_backend,
+                                       epoch=epoch,
+                                       batch_counter=self.batch_counter,
+                                       best_loss=self.best_loss,
+                                       batch_in_epoch=batch_in_epoch)
+                    multihost.barrier(f"save_mid_{self.batch_counter}")
 
             started_profile = False
             profile_start_count = 0
             # chunked dispatch yields one stream item per k batches (plus
             # remainder singles); tqdm's total must count items, not batches
-            n_batches = len(train_loader)
+            # (a mid-epoch resume skips epoch_offset batches)
+            n_batches = len(train_loader) - epoch_offset
             n_items = (n_batches // self.k_dispatch
                        + n_batches % self.k_dispatch)
+            stop_now = False
             for item in self._progress(self._train_stream(train_loader),
                                        f"Training epoch {epoch}", n_items):
                 if (cfg.profile_dir and not profiled and not started_profile
@@ -353,6 +393,16 @@ class Trainer:
                     total_loss = total_loss + loss * aux["n_real"]
                     total_samples = total_samples + aux["n_real"]
                     after_steps(1)
+                if (_stop_after_batches
+                        and batches_this_call >= _stop_after_batches):
+                    stop_now = True
+                    break
+
+            if stop_now:
+                # simulated interruption (test hook): leave exactly as a
+                # crash would -- whatever checkpoints exist, no epoch-end
+                # bookkeeping
+                return
 
             if started_profile and not profiled:
                 # short epoch: close the trace rather than leaving it open
@@ -371,7 +421,7 @@ class Trainer:
                 ckpt.save_last(model_path, self.trainable, self.opt_state,
                                backend=cfg.checkpoint_backend,
                                epoch=epoch + 1, batch_counter=self.batch_counter,
-                               best_loss=self.best_loss)
+                               best_loss=self.best_loss, batch_in_epoch=0)
             multihost.barrier(f"save_last_{epoch}")
             if self.batch_counter > cfg.max_batches:
                 break
