@@ -21,14 +21,15 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(trace_dir, B, steps, dtype, img, review_only=False):
+def capture(trace_dir, B, steps, dtype, img, review_only=False,
+            eval_only=False):
     import jax
     import jax.numpy as jnp
     from umpr_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     from umpr_tpu.models.umpr import ModelDims, init_umpr
     from umpr_tpu.train.optim import make_optimizer, split_frozen
-    from umpr_tpu.train.step import make_train_step
+    from umpr_tpu.train.step import make_train_step, make_eval_step
     from __graft_entry__ import _tiny_batch
 
     dims = ModelDims(review_net_only=review_only, view_size=1,
@@ -41,6 +42,15 @@ def capture(trace_dir, B, steps, dtype, img, review_only=False):
     params = init_umpr(jax.random.PRNGKey(0), dims,
                        rng.standard_normal((5000, 50)).astype(np.float32))
     trainable, frozen = split_frozen(params)
+    if eval_only:  # the serving path (no-grad predict)
+        estep = make_eval_step(dims)
+        sq, n = estep(trainable, frozen, batch)
+        float(sq)  # compile + sync
+        with jax.profiler.trace(trace_dir):
+            for _ in range(steps):
+                sq, n = estep(trainable, frozen, batch)
+            float(sq)
+        return
     tx = make_optimizer(1e-3)
     opt_state = tx.init(trainable)
     step = make_train_step(dims, tx, donate=False)
@@ -168,11 +178,14 @@ def main():
     ap.add_argument("--parse_only", action="store_true")
     ap.add_argument("--review_only", action="store_true",
                     help="profile the UMPR-R (text-only) step instead")
+    ap.add_argument("--eval_only", action="store_true",
+                    help="profile the no-grad eval/serving step instead of "
+                         "the train step")
     args = ap.parse_args()
     if not args.parse_only:
         os.makedirs(args.trace_dir, exist_ok=True)
         capture(args.trace_dir, args.batch, args.steps, args.dtype,
-                args.photo_size, args.review_only)
+                args.photo_size, args.review_only, args.eval_only)
     parse(args.trace_dir, args.top)
 
 
