@@ -137,6 +137,21 @@ def test_mid_epoch_checkpoint_resume_is_bit_exact(corpus_dir, tmp_path):
                     jax.tree.leaves(t_ref.trainable)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # same invariant under chunked dispatch (--steps_per_dispatch): the
+    # save cadence crosses at chunk granularity and the resumed stream
+    # re-chunks from the saved offset; updates are identical either way
+    chunk_dir = str(tmp_path / "chunk")
+    chunk_flags = ["--save_every_batches", "2", "--steps_per_dispatch", "2"]
+    t_c = Trainer(make_cfg(chunk_flags), logger, w2v)
+    t_c.fit(train_ds, valid_ds, chunk_dir, _stop_after_batches=stop_at)
+    t_d = Trainer(make_cfg(chunk_flags + ["--resume_path", chunk_dir]),
+                  logger, w2v)
+    t_d.fit(train_ds, valid_ds, chunk_dir)
+    assert t_d.batch_counter == t_ref.batch_counter
+    for a, b in zip(jax.tree.leaves(t_d.trainable),
+                    jax.tree.leaves(t_ref.trainable)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_fit_shorter_than_eval_every_still_saves_best(corpus_dir, tmp_path):
     """A run that never crosses an eval_every boundary must still leave a
