@@ -5,21 +5,22 @@
 #
 #   bash tools/run_tpu_queue.sh [outdir]
 #
-# 1. GRU kernel A/B (validates the xg-layout rework on hardware)
+# 1. Kernel numerics validation on hardware (exit-code gated)
 # 2. bench.py (headline + full-UMPR + throughput modes; re-warms .jax_cache
 #    for the driver's end-of-round run)
-# 3. UMPR-R step profile attribution (boundary-copy share after the rework)
+# 3. UMPR-R step profile attribution
+# 4. through-trainer dispatch A/B
 set -u
 cd "$(dirname "$0")/.."
 OUT="${1:-/tmp/tpu_queue}"
 mkdir -p "$OUT"
 export PYTHONPATH="$PWD:/root/.axon_site"
 
-echo "== 1/3 GRU kernel A/B =="
-timeout 2400 python -u tools/bench_kernels.py --which gru --iters 30 \
-    2>&1 | tee "$OUT/gru_ab.log"
+echo "== 1/4 kernel validation =="
+timeout 2400 python -u tools/validate_kernels_tpu.py \
+    2>&1 | tee "$OUT/validate.log"
 
-echo "== 2/3 bench.py =="
+echo "== 2/4 bench.py =="
 timeout 3600 python -u bench.py 2>&1 | tee "$OUT/bench.log"
 
 echo "== 3/4 UMPR-R profile =="
