@@ -189,3 +189,41 @@ def test_document_level_review_matches_reference(tmp_path):
     ours = build_dataset(csv, pj, pd_, w2v, cfg)
     ref = _ref_dataset(csv, pj, pd_, w2v, cfg)
     _assert_equal(ours, ref)
+
+
+@pytest.mark.skipif(not os.environ.get("UMPR_SOAK"),
+                    reason="extended soak: set UMPR_SOAK=<n_seeds> to run")
+def test_soak_extended_sample_selection(tmp_path):
+    """Opt-in extended sweep (UMPR_SOAK=<n_seeds>): random corpus shapes x
+    truncation configs x amazon/yelp styles x multi-view photo counts, every
+    seed asserted EXACT against the reference Dataset.  One-off runs of 30
+    and 150 seeds are recorded in PARITY.md; this keeps the harness in the
+    repo so future changes can re-run it cheaply (~2-4 s per seed)."""
+    n_seeds = int(os.environ["UMPR_SOAK"])
+    for seed in range(2000, 2000 + n_seeds):
+        rng = random.Random(seed)
+        root = tmp_path / str(seed)
+        root.mkdir()
+        style = "yelp" if seed % 5 == 0 else "amazon"
+        n_items = rng.randint(5, 18)
+        _write_corpus(root, style, n_users=rng.randint(20, 80),
+                      n_items=n_items,
+                      per_user=min(rng.randint(3, 6), n_items), seed=seed)
+        argv = ["--device", "cpu",
+                "--min_sent_count", str(rng.randint(1, 3)),
+                "--max_sent_count", str(rng.choice([4, 8, 20])),
+                "--max_ui_sent_count", str(rng.choice([1, 2, 5])),
+                "--max_sent_length", str(rng.choice([6, 12, 20]))]
+        if style == "yelp":
+            argv += ["--views", "['food','inside','outside','drink']",
+                     "--photo_count", str(rng.choice([1, 2, 3]))]
+        cfg = Config(argv=argv)
+        w2v = Word2vec(str(root / "glove.txt"))
+        csv = str(root / "train.csv")
+        pj, pd_ = str(root / "photos.json"), str(root / "photos")
+        ours = build_dataset(csv, pj, pd_, w2v, cfg)
+        ref = _ref_dataset(csv, pj, pd_, w2v, cfg)
+        try:
+            _assert_equal(ours, ref)
+        except AssertionError as e:
+            raise AssertionError(f"seed {seed} ({style}): {e}") from e

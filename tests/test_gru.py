@@ -68,3 +68,26 @@ def test_bigru_backward_direction_starts_at_length():
     trimmed = np.asarray(
         bigru_scan(params, jnp.asarray(x[:, :4]), jnp.asarray(lengths)))
     np.testing.assert_allclose(full[:, :4], trimmed, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("UMPR_SOAK"),
+                    reason="extended soak: set UMPR_SOAK=<n_patterns> to run")
+def test_soak_extended_gru_oracle():
+    """Opt-in randomized-shape sweep (UMPR_SOAK=<n_patterns>) of BOTH GRU
+    paths (lax.scan and the Pallas kernel with its default projection mode)
+    against the torch packed-GRU oracle.  One-off runs of 60 and 80
+    patterns recorded in PARITY.md; kept in-repo for cheap re-runs."""
+    from umpr_tpu.ops.gru_pallas import bigru_pallas
+    n = int(__import__("os").environ["UMPR_SOAK"])
+    rng = np.random.default_rng(123)
+    for trial in range(n):
+        N = int(rng.integers(1, 40)); L = int(rng.integers(1, 24))
+        E = int(rng.integers(1, 60)); H = int(rng.integers(1, 40))
+        x = rng.standard_normal((N, L, E)).astype(np.float32)
+        lengths = rng.integers(1, L + 1, size=N).astype(np.int32)
+        params = init_bigru(jax.random.PRNGKey(trial), E, H)
+        ref = torch_packed_bigru(params, x, lengths)
+        for fn, name in ((bigru_scan, "scan"), (bigru_pallas, "pallas")):
+            y = np.asarray(fn(params, jnp.asarray(x), jnp.asarray(lengths)))
+            err = np.abs(y - ref).max()
+            assert err < 2e-5, (trial, name, (N, L, E, H), err)
