@@ -50,6 +50,41 @@ def test_csvs_byte_identical_to_reference(tmp_path):
 
 
 @pytest.mark.skipif(not os.path.exists(REF), reason="reference not mounted")
+def test_gzipped_dump_byte_identical_to_reference(tmp_path):
+    """The real Amazon dumps ship as .json.gz (reference defaults at
+    data_process.py:92-93 and its gzip branch at :18-19, which evals BYTES
+    lines -- utf-8 by PEP 3120).  Both preprocessors must parse the gz path
+    to identical CSVs, including a non-ASCII token."""
+    import gzip
+
+    rng = random.Random(13)
+    words = ("classic guitar solo énergie mellow harsh tempo groove "
+             "chorus bridge").split()
+    raw = tmp_path / "reviews.json.gz"
+    with gzip.open(raw, "wt", encoding="utf-8") as f:
+        for u in range(10):
+            for it in rng.sample(range(5), 3):
+                sents = [" ".join(rng.choices(words, k=rng.randint(5, 10)))
+                         for _ in range(rng.randint(1, 3))]
+                f.write(repr({"reviewerID": f"U{u}", "asin": f"I{it}",
+                              "reviewText": ". ".join(sents) + ".",
+                              "overall": float(rng.randint(1, 5))}) + "\n")
+
+    ours = tmp_path / "ours"
+    refs = tmp_path / "refs"
+    process_dataset(str(raw), "/nonexistent", str(ours), 0.8, AMAZON_COLS)
+    subprocess.run(
+        [sys.executable, "data_process.py", "--data_path", str(raw),
+         "--meta_path", "/nonexistent", "--save_dir", str(refs),
+         "--train_rate", "0.8"],
+        cwd="/root/reference/data", check=True, capture_output=True)
+
+    for split in ("train", "valid", "test"):
+        a, b = ours / f"{split}.csv", refs / f"{split}.csv"
+        assert filecmp.cmp(a, b, shallow=False), f"{split}.csv differs"
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not mounted")
 def test_yelp_csvs_byte_identical_to_reference(tmp_path):
     """Yelp column mapping (user_id/business_id/text/stars, JSON lines —
     reference data_process.py:99-100) through both preprocessors."""
