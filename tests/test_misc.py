@@ -19,6 +19,74 @@ def test_is_valid_jpg(tmp_path):
     assert not is_valid_jpg(str(tmp_path / "missing.jpg"))
 
 
+def test_download_photos_end_to_end(tmp_path, capsys):
+    """The threaded downloader against a local HTTP server: success,
+    retry-then-success (reference down_photos.py:30-37), permanent failure,
+    and skip-if-already-valid (down_photos.py:57)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from umpr_tpu.data import download
+
+    JPEG = b"\xff\xd8 jpeg body \xff\xd9"
+    flaky_hits = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def do_GET(self):
+            if self.path == "/good.jpg":
+                body = JPEG
+            elif self.path == "/flaky.jpg":
+                flaky_hits.append(1)
+                if len(flaky_hits) == 1:  # first attempt fails -> retry
+                    self.send_error(503)
+                    return
+                body = JPEG
+            else:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        rows = [{"photo_id": "good", "imUrl": f"{base}/good.jpg"},
+                {"photo_id": "flaky", "imUrl": f"{base}/flaky.jpg"},
+                {"photo_id": "gone", "imUrl": f"{base}/missing.jpg"},
+                {"photo_id": "have", "imUrl": f"{base}/missing.jpg"}]
+        pj = tmp_path / "photos.json"
+        with open(pj, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        photo_dir = tmp_path / "photos"
+        photo_dir.mkdir()
+        # pre-existing valid file whose URL 404s: must be skipped untouched
+        (photo_dir / "have.jpg").write_bytes(b"\xff\xd8 old \xff\xd9")
+
+        download.download_photo.__defaults__ = (2,)  # cap retries: fast test
+        try:
+            download.download_photos(str(pj))
+        finally:
+            download.download_photo.__defaults__ = (10,)
+
+        assert download.is_valid_jpg(str(photo_dir / "good.jpg"))
+        assert download.is_valid_jpg(str(photo_dir / "flaky.jpg"))
+        assert len(flaky_hits) == 2  # retried exactly once
+        assert (photo_dir / "have.jpg").read_bytes() == b"\xff\xd8 old \xff\xd9"
+        assert not download.is_valid_jpg(str(photo_dir / "gone.jpg"))
+        out = capsys.readouterr().out
+        assert "1 failed" in out
+    finally:
+        srv.shutdown()
+
+
 def test_profiler_hook(tmp_path):
     """jax.profiler trace wrapping a jitted step (the trainer's profile_dir
     path uses exactly this API)."""
