@@ -404,6 +404,24 @@ def test_serve_http_end_to_end(corpus_dir, tmp_path):
             else:
                 np.testing.assert_allclose(http_p, cli_p, rtol=1e-5, atol=1e-6)
 
+        # concurrent requests: the ThreadingHTTPServer + per-request lock
+        # must serialize safely (same answers, no 500s, no dead server)
+        results = [None] * 3
+
+        def post(i):
+            r = urllib.request.Request(
+                f"{base}/predict", data=json.dumps({"rows": rows}).encode(),
+                headers={"Content-Type": "application/json"})
+            results[i] = json.load(urllib.request.urlopen(r, timeout=300))
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        for r in results:
+            assert r is not None and r["predictions"] == got
+
         # malformed request -> 400, not a dead server
         bad = urllib.request.Request(
             f"{base}/predict", data=b'{"rows": [{"userID": "u"}]}',
