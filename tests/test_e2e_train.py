@@ -86,14 +86,18 @@ def test_fit_test_resume(corpus_dir, tmp_path):
     assert trainer2.batch_counter > trainer.batch_counter
 
 
-def test_mid_epoch_checkpoint_resume_is_bit_exact(corpus_dir, tmp_path):
+@pytest.mark.parametrize("backend", ["npz", "orbax"])
+def test_mid_epoch_checkpoint_resume_is_bit_exact(corpus_dir, tmp_path,
+                                                  backend):
     """--save_every_batches + an interruption mid-epoch: the resumed run
     fast-forwards the epoch's deterministic batch order to the saved offset
     and finishes with BIT-IDENTICAL parameters to an uninterrupted run
     (dropout keys derive from the global batch counter, shuffle order from
-    the per-epoch seed, so no loop state is lost with the process)."""
+    the per-epoch seed, so no loop state is lost with the process).
+    Parametrized over both checkpoint backends."""
     def make_cfg(extra):
         return Config(argv=["--device", "cpu", "--review_net_only", "True",
+                            "--checkpoint_backend", backend,
                             "--batch_size", "8", "--train_epochs", "2",
                             "--eval_every", "4", "--learning_rate", "0.01",
                             "--min_sent_count", "1", "--seed", "2",
@@ -140,6 +144,9 @@ def test_mid_epoch_checkpoint_resume_is_bit_exact(corpus_dir, tmp_path):
     # same invariant under chunked dispatch (--steps_per_dispatch): the
     # save cadence crosses at chunk granularity and the resumed stream
     # re-chunks from the saved offset; updates are identical either way
+    # (npz run only: dispatch chunking is orthogonal to the save backend)
+    if backend != "npz":
+        return
     chunk_dir = str(tmp_path / "chunk")
     chunk_flags = ["--save_every_batches", "2", "--steps_per_dispatch", "2"]
     t_c = Trainer(make_cfg(chunk_flags), logger, w2v)
