@@ -46,10 +46,16 @@ def make_batch(rng, B=B):
 
 
 def bench_tpu(batch_np, B=B, compute_dtype="float32", steps=STEPS,
-              eval_batches=EVAL_BATCHES):
+              eval_batches=EVAL_BATCHES, rounds=2):
     """Train+eval cycle throughput at the reference cadence: STEPS train
     steps followed by an eval pass over EVAL_BATCHES validation batches
-    (the reference evaluates every 500 train batches, main.py:43)."""
+    (the reference evaluates every 500 train batches, main.py:43).
+
+    rounds: best-of-N cycles.  The driver-recorded headline uses N=4: at
+    B=64 the step is dispatch-bound and this 1-vCPU host shows +/-25%
+    timing noise, so a best-of-2 random-walks the recorded artifact
+    (BENCH_r01 25.6k vs BENCH_r02 24.0k on identical code -- see
+    BENCH_DETAILS.md)."""
     import jax
     import jax.numpy as jnp
     from umpr_tpu.models.umpr import ModelDims, init_umpr
@@ -77,7 +83,7 @@ def bench_tpu(batch_np, B=B, compute_dtype="float32", steps=STEPS,
     float(sq)
 
     best = 0.0
-    for _ in range(2):  # two rounds; report the best (tunnel-stutter guard)
+    for _ in range(rounds):  # best-of-N; report the best (tunnel-stutter guard)
         t0 = time.perf_counter()
         for _ in range(steps):
             trainable, opt_state, loss, _ = step(trainable, frozen, opt_state,
@@ -329,7 +335,7 @@ def main():
     _require_devices()
     rng = np.random.default_rng(42)
     batch_np = make_batch(rng)
-    tpu_sps = bench_tpu(batch_np)
+    tpu_sps = bench_tpu(batch_np, rounds=4)
 
     review_tp = serving = None
     if os.environ.get("UMPR_BENCH_SKIP_FULL") != "1":

@@ -181,3 +181,56 @@ def test_rnet_pretrain_end_to_end(tmp_path):
     like = init_rnet(jax.random.PRNGKey(1), 16, 8)
     restored = restore_pytree(save, like)
     assert restored["M"].shape == (16, 16)
+
+
+def _mine_pairs_loop(data, probs, rng, sample_k=20, hi=0.8, lo=0.5):
+    """Straightforward transliteration of the reference's per-sentence pair
+    mining (pretrain_rnet.py:98-127): the oracle for the blocked/vectorized
+    mine_pairs (identical rng call sequence, early exit, strict-improvement
+    updates, skip when no partner beat the sentinels)."""
+    norms = np.linalg.norm(probs, axis=-1)
+    n = len(data)
+    s1, s2, labels = [], [], []
+    for i in range(n):
+        pos_j, neg_j = None, None
+        max_cos, min_cos = -1.0, 1.0
+        for j in rng.choice(n, size=min(sample_k, n), replace=False):
+            if i == j:
+                continue
+            cos = float(probs[i] @ probs[j] / (norms[i] * norms[j] + 1e-12))
+            if cos > max_cos:
+                max_cos, pos_j = cos, j
+            if cos < min_cos:
+                min_cos, neg_j = cos, j
+            if max_cos > hi and min_cos < lo:
+                break
+        if pos_j is None or neg_j is None:
+            continue
+        s1 += [i, i]
+        s2 += [pos_j, neg_j]
+        labels += [1.0, 0.0]
+    return data[s1], data[s2], np.asarray(labels, np.float32)
+
+
+@pytest.mark.parametrize("n,k,seed", [(400, 20, 0), (37, 20, 1), (5, 20, 2),
+                                      (1, 20, 3), (0, 20, 4), (256, 3, 5)])
+def test_mine_pairs_matches_loop(n, k, seed):
+    """Blocked mine_pairs == per-sentence loop, pair for pair, incl. the
+    early exit, first-occurrence ties (duplicate prob rows), self-skip,
+    and the no-partner skip."""
+    from umpr_tpu.pretrain.rnet import mine_pairs
+
+    rng = np.random.default_rng(seed)
+    probs = np.abs(rng.standard_normal((n, 7))).astype(np.float32)
+    if n >= 8:
+        probs[n // 2] = probs[0]      # duplicate rows -> exact cosine ties
+        probs[n // 2 + 1] = 0.0       # zero-norm row
+    data = rng.integers(0, 50, size=(n, 9))
+
+    a = _mine_pairs_loop(data, probs, np.random.default_rng(seed + 100),
+                         sample_k=k)
+    b = mine_pairs(data, probs, np.random.default_rng(seed + 100),
+                   sample_k=k, block_size=64)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    assert len(a[0]) == len(b[0])

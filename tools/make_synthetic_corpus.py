@@ -30,6 +30,105 @@ WORDS = ("great sound quality album terrible loved fantastic song guitar "
 
 YELP_VIEWS = ["food", "inside", "outside", "drink"]
 
+# ---------------------------------------------------------------------------
+# Realistic mode (--realistic): Music-small-scale corpora with heavy-tailed
+# user/item activity, a GloVe-sized synthetic vocabulary, and ratings drawn
+# from a latent user/item-bias model whose sentiment leaks into the review
+# text -- so a review-text model has real signal to learn and converged test
+# MSE is dominated by the (stable) irreducible noise, not by init randomness.
+# Used for the scaled MSE-parity runs vs the reference oracle (PARITY.md).
+# ---------------------------------------------------------------------------
+
+_SYLLABLES = [c + v for c in "bcdfghjklmnprstvwz" for v in "aeiou"]
+
+
+def _make_vocab(nprng, n, forbidden):
+    """n distinct pronounceable non-stopword lowercase words."""
+    words, seen = [], set(forbidden)
+    while len(words) < n:
+        k = int(nprng.integers(2, 5))
+        w = "".join(nprng.choice(_SYLLABLES, k))
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    return words
+
+
+def _zipf_probs(n, a):
+    p = 1.0 / np.arange(1, n + 1, dtype=np.float64) ** a
+    return p / p.sum()
+
+
+def realistic(args):
+    """Write an amazon-style corpus of ~args.n_reviews reviews."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from umpr_tpu.text.stoplists import STOP_WORDS
+
+    nprng = np.random.default_rng(args.seed)
+    U, I, N = args.users, args.items, args.n_reviews
+
+    vocab = _make_vocab(nprng, args.vocab_size, STOP_WORDS)
+    pos_lex = vocab[:150]
+    neg_lex = vocab[150:300]
+    content = vocab[300:]
+    content_p = _zipf_probs(len(content), 1.05)
+    # each item talks about its own 30-word topic 60% of the time
+    topics = nprng.choice(len(content), size=(I, 30), p=content_p)
+
+    # heavy-tailed activity; identity permuted so id order carries no signal
+    user_p = _zipf_probs(U, 0.85)[nprng.permutation(U)]
+    item_p = _zipf_probs(I, 0.95)[nprng.permutation(I)]
+    b_u = nprng.normal(0.0, 0.55, U)
+    b_i = nprng.normal(0.0, 0.55, I)
+
+    seen_pairs = set()
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "reviews.json"), "w") as f:
+        written = 0
+        while written < N:
+            draw = N - written
+            us = nprng.choice(U, size=draw, p=user_p)
+            its = nprng.choice(I, size=draw, p=item_p)
+            for u, it in zip(us, its):
+                u, it = int(u), int(it)
+                if (u, it) in seen_pairs:
+                    continue
+                seen_pairs.add((u, it))
+                score = 3.4 + b_u[u] + b_i[it] + nprng.normal(0.0, 0.4)
+                stars = float(min(5, max(1, round(score))))
+                s = (stars - 3.0) / 2.0  # sentiment strength in [-1, 1]
+                lex = pos_lex if s >= 0 else neg_lex
+                anti = neg_lex if s >= 0 else pos_lex
+                sents = []
+                for _ in range(int(nprng.integers(3, 8))):
+                    n_words = int(nprng.integers(7, 17))
+                    n_senti = int(nprng.binomial(4, min(0.95, abs(s) * 0.75 + 0.08)))
+                    n_senti = min(n_senti, n_words - 6)
+                    words = []
+                    for _ in range(n_words - n_senti):
+                        if nprng.random() < 0.6:
+                            words.append(content[int(topics[it][nprng.integers(30)])])
+                        else:
+                            words.append(content[int(nprng.choice(len(content), p=content_p))])
+                    for _ in range(n_senti):
+                        pool = lex if nprng.random() < 0.9 else anti
+                        words.append(pool[int(nprng.integers(len(pool)))])
+                    nprng.shuffle(words)
+                    sents.append(" ".join(words))
+                text = ". ".join(sents) + "."
+                f.write(repr({"reviewerID": f"U{u}", "asin": f"I{it}",
+                              "reviewText": text, "overall": stars}) + "\n")
+                written += 1
+
+    with open(os.path.join(args.out, "meta.json"), "w") as f:
+        for it in range(I):
+            f.write(repr({"asin": f"I{it}",
+                          "imUrl": f"http://x/{it}.jpg"}) + "\n")
+
+    print(f"Wrote realistic corpus: {N} reviews, {U} users, {I} items, "
+          f"vocab {len(vocab)} to {args.out}")
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
@@ -42,7 +141,18 @@ def main(argv=None):
                     help="also write decodable JPEGs (requires cv2)")
     ap.add_argument("--emb_dim", type=int, default=50)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--realistic", action="store_true",
+                    help="Music-small-scale amazon corpus: Zipf user/item "
+                         "activity, latent-bias ratings, sentiment-correlated "
+                         "text, GloVe-sized vocab (no glove.txt written -- "
+                         "train embeddings with umpr_tpu.pretrain.word2vec_train)")
+    ap.add_argument("--n_reviews", type=int, default=65000)
+    ap.add_argument("--vocab_size", type=int, default=5000)
     args = ap.parse_args(argv)
+
+    if args.realistic:
+        realistic(args)
+        return
 
     os.makedirs(args.out, exist_ok=True)
     rng = random.Random(args.seed)

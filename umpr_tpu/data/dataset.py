@@ -141,36 +141,54 @@ def _tokenize_reviews(df, word2vec, config):
 
 
 def _resolve_photos(photo_json, photo_dir, item_ids, retain, views, photo_count):
-    """Reference dataset.py:87-119. Mutates `retain` in place."""
+    """Reference dataset.py:87-119. Mutates `retain` in place.
+
+    Resolution depends only on the item id, so each UNIQUE id is resolved
+    once and rows share the result (corpus rows >> unique items: Yelp is
+    8M rows over ~150k businesses; the former per-row path construction
+    was the last python hot spot of streaming corpus builds)."""
     photo_df = pd.read_json(photo_json, orient="records", lines=True)
     if "label" not in photo_df.columns:
         photo_df["label"] = views[0]  # amazon manifests carry no label
 
     groups = defaultdict(dict)
     view_set = set(views)
-    for bid, pid, label in zip(photo_df["business_id"], photo_df["photo_id"], photo_df["label"]):
+    for bid, pid, label in zip(photo_df["business_id"].tolist(),
+                               photo_df["photo_id"].tolist(),
+                               photo_df["label"].tolist()):
         if label in view_set:
             groups[bid].setdefault(label, []).append(pid)
 
-    paths = []
-    for idx, bid in enumerate(item_ids):
-        if not retain[idx]:
-            paths.append(None)
-            continue
+    def resolve(bid):
+        """Per-view photo paths for one item, or None to drop its samples."""
         item_photos = []
         for label in views:
-            pids = groups[bid].get(label, [])
+            pids = groups[bid].get(label, []) if bid in groups else []
             if len(pids) < 1:  # no photo for this view -> drop the sample
-                retain[idx] = False
-                item_photos = None
-                break
+                return None
             sel = [os.path.join(photo_dir, pids[j] + ".jpg") for j in range(min(len(pids), photo_count))]
             # Reference pads missing slots with the sentinel path 'unknown',
             # which cv2 fails to read and yields a zero image
             # (dataset.py:115-116, 142-143). '' is our zero-image sentinel.
             sel.extend([""] * (photo_count - len(sel)))
             item_photos.append(sel)
-        paths.append(item_photos)
+        return item_photos
+
+    # factorize rows -> unique ids, resolve each unique once, fan results
+    # back out with one vectorized drop-mask update (per-row numpy scalar
+    # reads were ~3.4 us/row -- half a minute at Yelp's 8M rows)
+    codes, uniques = pd.factorize(np.asarray(item_ids, dtype=object))
+    resolved = [resolve(bid) for bid in uniques]
+    entry = np.asarray(retain, dtype=bool)  # retain snapshot at entry
+    paths = [resolved[c] if r else None
+             for c, r in zip(codes.tolist(), entry.tolist())]
+    bad = entry & ~np.asarray([r is not None for r in resolved],
+                              dtype=bool)[codes] if len(codes) else entry
+    if isinstance(retain, np.ndarray):
+        retain[bad] = 0
+    else:
+        for i in np.flatnonzero(bad):
+            retain[i] = False
     return paths
 
 
