@@ -54,6 +54,7 @@ def corpus(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_per_epoch_mse_tracks_reference(corpus):
     from tests.ref_oracle import (import_reference_model, patch_improved_rnn,
                                   load_umpr, batch_to_reference, RefConfig)

@@ -48,6 +48,7 @@ def corpus_dir(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_fit_test_resume(corpus_dir, tmp_path):
     cfg = Config(argv=["--device", "cpu", "--review_net_only", "True",
                        "--batch_size", "8", "--train_epochs", "2",
@@ -86,6 +87,7 @@ def test_fit_test_resume(corpus_dir, tmp_path):
     assert trainer2.batch_counter > trainer.batch_counter
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["npz", "orbax"])
 def test_mid_epoch_checkpoint_resume_is_bit_exact(corpus_dir, tmp_path,
                                                   backend):
@@ -217,6 +219,41 @@ def test_sharded_embedding_checkpoint_is_mesh_independent(corpus_dir, tmp_path):
     np.testing.assert_allclose(mse_plain, mse_tp, rtol=1e-5)
 
 
+def test_sharded_2d_mesh_checkpoint_round_trip(corpus_dir, tmp_path):
+    """Train on a 2-D (4 dp x 2 mp) mesh with the vocab table TP-sharded
+    over 'mp' (--shard_embedding --mesh_shape [4,2]); best/ checkpoints
+    must load into a default unsharded single-device trainer (the serving
+    placement) with identical eval MSE -- the train-sharded -> serve-
+    unsharded round trip."""
+    base = ["--device", "cpu", "--review_net_only", "True",
+            "--batch_size", "8", "--train_epochs", "1",
+            "--eval_every", "2", "--learning_rate", "0.01",
+            "--min_sent_count", "1", "--seed", "2",
+            "--cache_dataset", "False"]
+    logger = get_logger(logger_name="shard-2d-ckpt")
+    w2v = Word2vec(str(corpus_dir / "glove.txt"))
+    assert (w2v.embedding.shape[0] % 8) != 0  # padding actually happens
+    mk = lambda cfg, split: build_dataset(str(corpus_dir / f"{split}.csv"),
+                                          str(corpus_dir / "photos.json"),
+                                          str(corpus_dir / "photos"), w2v, cfg)
+
+    cfg_2d = Config(argv=base + ["--shard_embedding", "True",
+                                 "--mesh_shape", "[4,2]"])
+    model_dir = str(tmp_path / "tp2d_model")
+    t = Trainer(cfg_2d, logger, w2v)
+    assert dict(t.mesh.shape) == {"dp": 4, "mp": 2}
+    emb_sharding = t.frozen["embedding"].sharding
+    assert emb_sharding.spec[0] == "mp"  # table rows on the model axis
+    t.fit(mk(cfg_2d, "train"), mk(cfg_2d, "valid"), model_dir)
+    mse_2d = t.test(mk(cfg_2d, "valid"), model_dir)
+    assert np.isfinite(mse_2d)
+
+    cfg_plain = Config(argv=base + ["--multi_gpu", "False"])
+    t2 = Trainer(cfg_plain, logger, w2v)
+    mse_plain = t2.test(mk(cfg_plain, "valid"), model_dir)
+    np.testing.assert_allclose(mse_plain, mse_2d, rtol=1e-5)
+
+
 def test_multi_step_dispatch_equals_single(corpus_dir, tmp_path):
     """steps_per_dispatch=4 must produce the same parameters and losses as
     single-step dispatch (same update order, same rng folding)."""
@@ -285,6 +322,7 @@ def test_serve_cli_end_to_end(corpus_dir, tmp_path):
     assert (out.loc[scored, "prediction"] >= 0).all()
 
 
+@pytest.mark.slow
 def test_factored_nu_fit_and_resume(corpus_dir, tmp_path):
     """--adam_factored_nu end to end: training runs, the factored optimizer
     state checkpoints, and a resume restores it (shape-compatible like)."""
@@ -320,6 +358,7 @@ def test_factored_nu_fit_and_resume(corpus_dir, tmp_path):
     assert trainer2.batch_counter > trainer.batch_counter
 
 
+@pytest.mark.slow
 def test_grad_accum_trainer_matches_single(corpus_dir, tmp_path):
     """--grad_accum_steps 2 through the Trainer tracks the single-step run
     (identical up to fp summation order per update; tolerance covers the

@@ -2,6 +2,7 @@
 parity with the live model, weights carried in the sidecar."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -47,6 +48,7 @@ def test_export_roundtrip_review_only(tmp_path):
     _roundtrip(tmp_path, dims, batch)
 
 
+@pytest.mark.slow
 def test_export_roundtrip_full_model(tmp_path):
     dims = ModelDims(review_net_only=False, view_size=1, photo_size=32)
     batch = random_batch(np.random.default_rng(2), B=8, S=5, L=10, S_ui=2,

@@ -9,6 +9,7 @@ the driver itself on 1-device hosts.
 """
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -22,5 +23,14 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8_devices():
     graft.dryrun_multichip(8)  # raises on failure
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_16_devices():
+    """16 > the conftest's 8 virtual devices, so this also exercises the
+    subprocess self-provisioning re-exec path (plus the 8x2 dp-x-mp
+    layout at a width the driver never requests itself)."""
+    graft.dryrun_multichip(16)

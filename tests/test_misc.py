@@ -4,6 +4,7 @@ ABAE aspect evaluation, hard-label pair mining, review-level tokenization."""
 import os
 
 import numpy as np
+import pytest
 import jax
 
 from umpr_tpu.data.download import is_valid_jpg
@@ -176,6 +177,7 @@ def test_masking_primitives():
     np.testing.assert_array_equal(np.asarray(e), expect)
 
 
+@pytest.mark.slow
 def test_convert_vgg16_roundtrip(tmp_path):
     """tools/convert_vgg16.py on a synthetic torchvision-layout state_dict:
     converted weights load into our VGG16 and the forward matches a torch

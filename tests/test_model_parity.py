@@ -68,6 +68,7 @@ def test_review_net_only_parity_unpatched_equal_lengths():
     np.testing.assert_allclose(ours_loss, ref_loss, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_umpr_parity():
     """Full model: ReviewNet + ControlNet + VisualNet (VGG16) + both losses."""
     ref = import_reference_model()
@@ -117,6 +118,7 @@ def test_review_parity_shape_fuzz(case):
     np.testing.assert_allclose(ours_loss, float(ref_loss), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bf16_mixed_precision_tracks_f32():
     """compute_dtype='bfloat16' runs the whole model (GRU kernel path
     included) in bf16 IO with f32 loss; values and gradients track the f32

@@ -40,6 +40,7 @@ def _spawn(pid, n, port, out):
         env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
 
 
+@pytest.mark.slow
 def test_two_process_training_matches_single_process(tmp_path):
     port = _free_port()
     outs = [str(tmp_path / f"proc{i}.json") for i in range(2)]

@@ -91,6 +91,7 @@ def test_gradient_parity_review_net():
                                    rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradient_parity_full_umpr():
     """Gradients through ControlNet + VisualNet (VGG16) + both losses vs
     torch autograd through the reference implementation."""
@@ -289,6 +290,7 @@ def test_adam_factored_nu_converges_and_tracks_adam():
     assert results["fact"] < results["full"] * 10 + 1e-3, results
 
 
+@pytest.mark.slow
 def test_grad_accum_equals_single_step():
     """make_train_step_accum(k) must produce the same update and loss as the
     single full-batch step (fp-summation-order tolerance), for both the

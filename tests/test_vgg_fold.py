@@ -14,6 +14,7 @@ import pytest
 from umpr_tpu.models.visual_net import init_vgg16, vgg16
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("img", [32, 64])
 def test_fold_matches_unfolded_values_and_grads(img):
     rng = np.random.default_rng(0)
@@ -37,6 +38,7 @@ def test_fold_matches_unfolded_values_and_grads(img):
 
 
 
+@pytest.mark.slow
 def test_remat_vgg_matches_values_and_grads():
     """remat_vgg (jax.checkpoint per conv block) must be numerically
     invisible: same loss and same gradients as the plain forward, folded

@@ -33,6 +33,7 @@ def _run_main(monkeypatch, argv):
     umpr_main.main()
 
 
+@pytest.mark.slow
 def test_yelp_four_view_fit_and_test_only(yelp_dir, tmp_path, monkeypatch):
     model_dir = str(tmp_path / "model")
     log_path = str(tmp_path / "log.txt")

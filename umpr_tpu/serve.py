@@ -97,16 +97,21 @@ class Predictor:
 def make_http_server(predictor, config, word2vec, port, host="127.0.0.1"):
     """JSON-over-HTTP batch scorer around a Predictor.  Returns the (not yet
     serving) ThreadingHTTPServer; call .serve_forever() (the CLI does) or
-    drive it from a thread (tests do).  Request building + prediction are
-    serialized under one lock -- the device is the bottleneck anyway, and it
-    keeps per-request dataset builds deterministic."""
+    drive it from a thread (tests do).
+
+    Two-stage pipeline: request dataset-BUILD (host CPU: tokenize, pack,
+    decode) and device PREDICT hold separate locks, so request B's build
+    overlaps request A's device time instead of queueing end-to-end behind
+    it (each stage stays serialized: builds share the native tokenizer and
+    photo cache; the device runs one dispatch stream)."""
     import json
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     photo_json = os.path.join(config.data_dir, "photos.json")
     photo_dir = os.path.join(config.data_dir, "photos")
-    lock = threading.Lock()
+    build_lock = threading.Lock()
+    device_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -154,13 +159,14 @@ def make_http_server(predictor, config, word2vec, port, host="127.0.0.1"):
             except Exception as e:
                 return self._json(400, {"error": f"{type(e).__name__}: {e}"})
             try:
-                with lock:
+                with build_lock:
                     # the DataFrame goes to the builder directly: a CSV
                     # round trip would NA-coerce legitimate review strings
                     # ("NA", "None", "") back into NaN after validation
                     df["review"] = df["review"].astype(str)
                     ds = build_dataset(None, photo_json, photo_dir,
                                        word2vec, config, df=df)
+                with device_lock:
                     preds, rows = predictor.predict_dataset(ds)
                 import math
                 out = [None] * len(df)

@@ -168,11 +168,17 @@ class Trainer:
             return jax.device_put(frozen, self.rep)
         from jax.sharding import NamedSharding, PartitionSpec as P
         emb = jax.numpy.asarray(frozen["embedding"])
+        # n_dev-multiple padding is valid for either axis choice below
+        # (n_dev = dp*mp); pad rows are stripped again by _checkpoint_params
         pad = (-emb.shape[0]) % self._n_dev
         if pad:
             emb = jax.numpy.concatenate(
                 [emb, jax.numpy.zeros((pad, emb.shape[1]), emb.dtype)])
-        vocab_sharded = NamedSharding(self.mesh, P("dp", None))
+        # on a 2-D (dp x mp) --mesh_shape the table shards over the model
+        # axis, orthogonal to the batch -- the large-vocab TP layout (the
+        # same one __graft_entry__.dryrun_multichip validates)
+        axis = "mp" if "mp" in self.mesh.axis_names else "dp"
+        vocab_sharded = NamedSharding(self.mesh, P(axis, None))
         return {"embedding": jax.device_put(emb, vocab_sharded)}
 
     def _checkpoint_params(self):
