@@ -177,3 +177,75 @@ def test_bf16_io_gradients_track_f32():
         # too noisy for accumulated gradients)
         denom = np.linalg.norm(b) + 1e-6
         assert np.linalg.norm(a - b) / denom < 0.05, np.linalg.norm(a - b) / denom
+
+
+def test_nodx_variant_matches_param_grads():
+    """bigru_pallas_nodx (frozen-embedding fast path) must produce identical
+    parameter gradients and zero dx, in every projection mode."""
+    import os
+    from umpr_tpu.ops.gru_pallas import bigru_pallas, bigru_pallas_nodx
+
+    rng = np.random.default_rng(3)
+    N, L, E, H = 24, 7, 10, 64
+    params = init_bigru(jax.random.PRNGKey(0), E, H)
+    x = jnp.asarray(rng.standard_normal((N, L, E)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(1, L + 1, N).astype(np.int32))
+
+    def loss(fn):
+        return lambda p, xx: jnp.sum(fn(p, xx, lengths) ** 2)
+
+    for mode in ("fused", "stacked", "wide"):
+        os.environ["UMPR_GRU_PROJ"] = mode
+        try:
+            dp_ref, dx_ref = jax.grad(loss(bigru_pallas), (0, 1))(params, x)
+            dp_new, dx_new = jax.grad(loss(bigru_pallas_nodx), (0, 1))(params, x)
+        finally:
+            del os.environ["UMPR_GRU_PROJ"]
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+                     dp_ref, dp_new)
+        assert float(jnp.abs(dx_new).max()) == 0.0
+        assert float(jnp.abs(dx_ref).max()) > 0.0  # the dead grad it replaces
+
+
+def test_split_api_matches_scan_layouts_and_grads():
+    """bigru_pallas_split: the repack kernels' Y_pos/Y_sent must equal the
+    scan path's reshaped outputs, and parameter grads through BOTH outputs
+    must match (the dy-combine kernel is the VJP)."""
+    from umpr_tpu.ops.gru import bigru_scan
+    from umpr_tpu.ops.gru_pallas import (bigru_pallas_split,
+                                         bigru_pallas_split_nodx)
+
+    rng = np.random.default_rng(5)
+    B2, S, L, E, H = 6, 3, 7, 10, 64
+    N = B2 * S
+    params = init_bigru(jax.random.PRNGKey(1), E, H)
+    x = jnp.asarray(rng.standard_normal((N, L, E)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(1, L + 1, N).astype(np.int32))
+    y_ref = bigru_scan(params, x, lengths)
+    pos, sent = bigru_pallas_split(params, x, lengths, S)
+    np.testing.assert_allclose(sent, y_ref, atol=1e-5)
+    np.testing.assert_allclose(pos, y_ref.reshape(B2, S * L, 2 * H), atol=1e-5)
+
+    def loss_split(p, xx):
+        a, b = bigru_pallas_split(p, xx, lengths, S)
+        return jnp.sum(a ** 2) + jnp.sum(jnp.tanh(b)).astype(jnp.float32)
+
+    def loss_scan(p, xx):
+        y = bigru_scan(p, xx, lengths)
+        return (jnp.sum(y.reshape(B2, S * L, 2 * H) ** 2)
+                + jnp.sum(jnp.tanh(y)).astype(jnp.float32))
+
+    dp, dx = jax.grad(loss_split, (0, 1))(params, x)
+    dp_ref, dx_ref = jax.grad(loss_scan, (0, 1))(params, x)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=2e-4,
+                                                         rtol=1e-4),
+                 dp, dp_ref)
+    np.testing.assert_allclose(dx, dx_ref, atol=2e-4)
+
+    # nodx variant: same param grads, zero dx
+    dp2, dx2 = jax.grad(
+        lambda p, xx: sum(jnp.sum(o ** 2) for o in
+                          bigru_pallas_split_nodx(p, xx, lengths, S)),
+        (0, 1))(params, x)
+    assert float(jnp.abs(dx2).max()) == 0.0
+    jax.tree.map(np.ndim, dp2)  # structure intact

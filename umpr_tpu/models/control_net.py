@@ -34,10 +34,11 @@ def cnet(p, review_emb, lengths, exists, threshold, use_pallas=False):
     """View-probability classifier (reference model.py:110-126, eq. 14-16).
 
     review_emb: (B, S, L, E); lengths: (B, S); exists: (S, L) runtime mask.
-    Returns gru_repr (B, S*L, 2u), view_p (B, S, V), final_repr (B, V).
+    Returns gru_repr (B*S, L, 2u), view_p (B, S, V), final_repr (B, V).
     """
     B, S, L, E = review_emb.shape
-    gru_repr = bigru(p["gru"], review_emb.reshape(B * S, L, E), lengths.reshape(-1), use_pallas)
+    gru_repr = bigru(p["gru"], review_emb.reshape(B * S, L, E), lengths.reshape(-1),
+                     use_pallas, need_dx=False)  # frozen embedding input
 
     conv_out = jax.nn.relu(conv1d_same(p["conv"], gru_repr))  # (B*S, L_out, k_count)
     # Max-pool over time, restricted to positions that exist in the
@@ -56,7 +57,7 @@ def cnet(p, review_emb, lengths, exists, threshold, use_pallas=False):
     s_exists = exists[:, 0]  # (S,): sentence mask (t=0 exists whenever s does)
     view_p = view_p * s_exists[None, :, None]  # nonexistent sentences contribute nothing
     final_repr = jnp.sum(view_p ** 2, axis=-2)  # eq. 16, (B, V)
-    return gru_repr.reshape(B, S * L, -1), view_p, final_repr
+    return gru_repr, view_p, final_repr
 
 
 def init_ssnet(key, input_size):
@@ -77,11 +78,13 @@ def init_control_net(key, emb_size, gru_size, k_count, k_size, view_size, atte_s
     }
 
 
-def control_net(p, user_emb, item_emb, ui_emb, u_lengths, i_lengths, ui_lengths,
+def control_net(p, both_emb, ui_emb, u_lengths, i_lengths, ui_lengths,
                 exists, ui_exists, threshold, use_pallas=False):
     """Preference routing (reference model.py:179-198, eq. 17-18).
 
-    exists: (S, L) shared user/item runtime mask; ui_exists: (S_ui, L).
+    both_emb: (2B, S, L, E) user histories stacked over item histories (the
+    same single-gather tensor ReviewNet consumes); exists: (S, L) shared
+    user/item runtime mask; ui_exists: (S_ui, L).
     Returns c_u, c_i, prefer_pos, prefer_neg, all (B, view_size).
     """
     B, S_ui, L, _ = ui_emb.shape
@@ -89,14 +92,14 @@ def control_net(p, user_emb, item_emb, ui_emb, u_lengths, i_lengths, ui_lengths,
                                        threshold, use_pallas)
     # One C-Net launch for user+item histories (same shapes, shared weights;
     # numerically identical, halves GRU/conv launch overhead).
-    both = jnp.concatenate([user_emb, item_emb], axis=0)
     both_len = jnp.concatenate([u_lengths, i_lengths], axis=0)
-    _, _, c_both = cnet(p["cnet"], both, both_len, exists, threshold, use_pallas)
+    _, _, c_both = cnet(p["cnet"], both_emb, both_len, exists, threshold,
+                        use_pallas)
     c_u, c_i = c_both[:B], c_both[B:]
 
     # S-Net over the ui review; per-sentence "mass" weights are view_p sums,
     # exactly as the reference passes view_p as word_soft (model.py:185).
-    s, _ = snet(p["snet"], gru_repr, view_p, S_ui, L, ui_exists[0])
+    s, _ = snet(p["snet"], gru_repr, view_p, S_ui, ui_exists[0])
     senti = ssnet(p["ssnet"], s)  # (B, S_ui, 1), broadcast over views below
 
     vp2 = view_p ** 2

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from umpr_tpu.models.layers import init_linear, randn
 from umpr_tpu.ops.attention import affinity_attention
-from umpr_tpu.ops.gru import init_bigru, bigru
+from umpr_tpu.ops.gru import init_bigru, bigru_split
 from umpr_tpu.ops.masking import masked_softmax
 
 
@@ -28,26 +28,30 @@ def init_rnet(key, emb_size, gru_size):
     }
 
 
-def rnet(p, user_emb, item_emb, u_lengths, i_lengths, exists, use_pallas=False,
+def rnet(p, both_emb, u_lengths, i_lengths, exists, use_pallas=False,
          attention_pallas=None):
     """Word-level cross attention between user and item histories.
 
-    user_emb/item_emb: (B, S, L, E); *_lengths: (B, S); exists: (S, L) bool
-    runtime mask shared by user and item (the reference pads both to one
-    common batch maximum, dataset.py:163-170).
+    both_emb: (2B, S, L, E) -- user histories stacked over item histories
+    on the batch axis (one embedding gather, one GRU launch: the weights
+    are shared); *_lengths: (B, S); exists: (S, L) bool runtime mask shared
+    by user and item (the reference pads both to one common batch maximum,
+    dataset.py:163-170).
 
-    Returns gru_u, gru_i (B, S*L, 2u), soft_u, soft_i (B, S*L),
-    atte_u, atte_i (B, 2u).  Reference: model.py:36-56 (eq. 3-4).
+    Returns gru_u, gru_i (B, S*L, 2u), y_sent (2*B*S, L, 2u) -- user rows
+    stacked over item rows, soft_u, soft_i (B, S*L), atte_u, atte_i
+    (B, 2u).  Reference: model.py:36-56 (eq. 3-4).
     """
-    B, S, L, E = user_emb.shape
-    # One GRU launch for user+item (weights are shared; numerically
-    # identical, halves the sequential-scan overhead on TPU).
-    both = jnp.concatenate([user_emb.reshape(B * S, L, E),
-                            item_emb.reshape(B * S, L, E)], axis=0)
+    B2, S, L, E = both_emb.shape
+    B = B2 // 2
+    # bigru_split returns BOTH consumer layouts -- positions for the
+    # attention, sentences for S-Net -- repacked inside the kernel path so
+    # no XLA reverse/concat/regroup copies appear at the boundary;
+    # need_dx=False: the inputs are the frozen GloVe table.
     both_len = jnp.concatenate([u_lengths.reshape(-1), i_lengths.reshape(-1)])
-    gru_ui = bigru(p["gru"], both, both_len, use_pallas)
-    gru_u = gru_ui[:B * S].reshape(B, S * L, -1)
-    gru_i = gru_ui[B * S:].reshape(B, S * L, -1)
+    y_pos, y_sent = bigru_split(p["gru"], both_emb.reshape(B2 * S, L, E),
+                                both_len, S, use_pallas, need_dx=False)
+    gru_u, gru_i = y_pos[:B], y_pos[B:]
     e = exists.reshape(S * L)
 
     # Affinity attention (eq. 3-4).  The composite XLA path is measured
@@ -58,7 +62,7 @@ def rnet(p, user_emb, item_emb, u_lengths, i_lengths, exists, use_pallas=False,
         attention_pallas = False
     soft_u, soft_i, atte_u, atte_i = affinity_attention(
         gru_u, gru_i, p["M"], e, attention_pallas)
-    return gru_u, gru_i, soft_u, soft_i, atte_u, atte_i
+    return gru_u, gru_i, y_sent, soft_u, soft_i, atte_u, atte_i
 
 
 def init_snet(key, self_atte_size, repr_size):
@@ -68,20 +72,21 @@ def init_snet(key, self_atte_size, repr_size):
             "Ws": randn(k2, (1, self_atte_size))}
 
 
-def snet(p, gru_repr, word_soft, S, L, t_exists):
+def snet(p, H, word_soft, S, t_exists):
     """Per-sentence self attention -> sentence vectors + sentiment embedding.
 
-    gru_repr: (B, S*L, 2u); word_soft: (B, S*L) or (B, S, W) -- the per-
-    sentence weight mass is its sum over the last axis after reshaping to
-    (B*S, -1), exactly like the reference's word_soft.view(B*S, -1).sum(-1)
-    (model.py:79, which ControlNet also exploits by passing view_p there);
-    t_exists: (L,) bool runtime token mask.
+    H: (B*S, L, 2u) true-time per-sentence GRU outputs (the layout the GRU
+    emits -- no (B, S*L) round trip); word_soft: (B, S*L) or (B, S, W) --
+    the per-sentence weight mass is its sum over the last axis after
+    reshaping to (B*S, -1), exactly like the reference's
+    word_soft.view(B*S, -1).sum(-1) (model.py:79, which ControlNet also
+    exploits by passing view_p there); t_exists: (L,) bool runtime token
+    mask.
 
     Returns self_atte (B, S, 2u), sentiment_emb (B, 2u).
     Reference: model.py:71-81 (eq. 5-6).
     """
-    B = gru_repr.shape[0]
-    H = gru_repr.reshape(B * S, L, -1)
+    B = H.shape[0] // S
     # sent_soft = softmax_t(Ws tanh(Ms H^T))  over existing token positions
     scores = jnp.einsum("oa,nla->nl", p["Ws"], jnp.tanh(jnp.einsum("ae,nle->nla", p["Ms"], H)))
     sent_soft = masked_softmax(scores, t_exists[None, :], axis=-1)  # (B*S, L)
@@ -90,6 +95,28 @@ def snet(p, gru_repr, word_soft, S, L, t_exists):
     mass = word_soft.reshape(B * S, -1).sum(axis=-1)  # per-sentence attention mass
     sentiment = (mass[:, None] * self_atte).reshape(B, S, -1).sum(axis=1)
     return self_atte.reshape(B, S, -1), sentiment
+
+
+def snet_pair(p_u, p_i, y_sent, soft_u, soft_i, S, t_exists):
+    """Both ReviewNet S-Nets in ONE batched pass over the un-sliced
+    (2*B*S, L, 2u) GRU output: a 2-valued group axis carries the separate
+    user/item parameters, so Y_sent never splits into per-half tensors
+    (the u/i slices + their dsent pad-and-add showed up as ~9% of the
+    UMPR-R step as layout-churn fusions).  Same math as snet() twice.
+
+    Returns sentiment_u, sentiment_i (B, 2u)."""
+    BS2, L, D = y_sent.shape
+    B = BS2 // (2 * S)
+    Hg = y_sent.reshape(2, BS2 // 2, L, D)
+    Ms = jnp.stack([p_u["Ms"], p_i["Ms"]])          # (2, a, D)
+    Ws = jnp.stack([p_u["Ws"], p_i["Ws"]])          # (2, 1, a)
+    inner = jnp.einsum("gae,gnle->gnla", Ms, Hg)
+    scores = jnp.einsum("goa,gnla->gnl", Ws, jnp.tanh(inner))
+    sent_soft = masked_softmax(scores, t_exists[None, None, :], axis=-1)
+    self_atte = jnp.einsum("gnle,gnl->gne", Hg, sent_soft)  # (2, B*S, D)
+    mass = jnp.stack([soft_u, soft_i]).reshape(2, B * S, -1).sum(axis=-1)
+    sentiment = (mass[..., None] * self_atte).reshape(2, B, S, D).sum(axis=2)
+    return sentiment[0], sentiment[1]
 
 
 def init_review_net(key, emb_size, gru_size, atte_size):
@@ -103,18 +130,20 @@ def init_review_net(key, emb_size, gru_size, atte_size):
     }
 
 
-def review_net(p, user_emb, item_emb, u_lengths, i_lengths, exists,
+def review_net(p, both_emb, u_lengths, i_lengths, exists,
                use_pallas=False, attention_pallas=None):
     """Full review network (reference model.py:157-169, eq. 7-8).
 
+    both_emb: (2B, S, L, E) user histories stacked over item histories.
     Returns (B, 2u) textual-matching representation."""
-    B, S, L, _ = user_emb.shape
-    gru_u, gru_i, soft_u, soft_i, atte_u, atte_i = rnet(
-        p["rnet"], user_emb, item_emb, u_lengths, i_lengths, exists, use_pallas,
+    B2, S, L, _ = both_emb.shape
+    B = B2 // 2
+    gru_u, gru_i, y_sent, soft_u, soft_i, atte_u, atte_i = rnet(
+        p["rnet"], both_emb, u_lengths, i_lengths, exists, use_pallas,
         attention_pallas)
     t_exists = exists[0]  # (L,): token mask for row 0 == any existing sentence row
-    _, sent_u = snet(p["snet_u"], gru_u, soft_u, S, L, t_exists)
-    _, sent_i = snet(p["snet_i"], gru_i, soft_i, S, L, t_exists)
+    sent_u, sent_i = snet_pair(p["snet_u"], p["snet_i"], y_sent,
+                               soft_u, soft_i, S, t_exists)
 
     repr_u = jnp.concatenate([atte_u, sent_u], axis=-1)  # eq. 7
     repr_i = jnp.concatenate([atte_i, sent_i], axis=-1)

@@ -141,14 +141,18 @@ def umpr_forward(params, batch, dims: ModelDims, train=False, dropout_rng=None):
             params)
 
     emb = params["embedding"]
-    u_emb = emb[u_tok]     # (B, S, L, E)
-    i_emb = emb[i_tok]
+    # ONE gather for user+item histories: concatenating the (tiny, int32)
+    # token ids instead of the (B, S, L, E) embeddings saves a full-tensor
+    # float concat per step (u and i flow through shared-weight networks
+    # stacked on the batch axis everywhere downstream)
+    both_tok = jnp.concatenate([u_tok, i_tok], axis=0)   # (2B, S, L)
+    both_emb = emb[both_tok]                             # (2B, S, L, E)
     ui_emb = emb[ui_tok]   # (B, S_ui, L, E)
 
     # One attention path on merit for train AND eval: the composite XLA
     # attention is measured faster than the fused kernel at every supported
     # shape (umpr_tpu/ops/attention.py); use_pallas governs the GRU kernel.
-    rn = review_net(params["review_net"], u_emb, i_emb, u_len, i_len, exists,
+    rn = review_net(params["review_net"], both_emb, u_len, i_len, exists,
                     dims.use_pallas)  # (B, 2u)
 
     if dims.review_net_only:
@@ -158,7 +162,7 @@ def umpr_forward(params, batch, dims: ModelDims, train=False, dropout_rng=None):
         return prediction, loss, {"loss_r": loss}
 
     c_u, c_i, prefer_pos, prefer_neg = control_net(
-        params["control_net"], u_emb, i_emb, ui_emb, u_len, i_len, ui_len,
+        params["control_net"], both_emb, ui_emb, u_len, i_len, ui_len,
         exists, ui_exists, dims.threshold, dims.use_pallas)
     pos_match, neg_match, final_pos, final_neg = visual_net(
         params["visual_net"], batch["photos"], c_u, c_i, train, dropout_rng,

@@ -119,15 +119,41 @@ def bigru_scan(params, x, lengths):
     return jnp.swapaxes(y, 0, 1)  # (N, L, 2H)
 
 
-def bigru(params, x, lengths, use_pallas=False):
+def bigru(params, x, lengths, use_pallas=False, need_dx=True):
     hidden = params["fwd"]["w_hh"].shape[0]
     # The Pallas kernels' column blocks are 6H / 2H wide and must be
     # 128-lane multiples (gcd(3,128)=1 and gcd(2·odd,128) arguments reduce
     # both conditions to H % 64 == 0); other sizes fall back to the scan.
+    # need_dx=False (frozen input embeddings -- every UMPR config) lets the
+    # kernel path skip the dead input-stream gradient, which XLA cannot DCE
+    # through a Pallas call; the scan path DCEs it naturally.
     if use_pallas and hidden % 64 == 0:
-        from umpr_tpu.ops.gru_pallas import bigru_pallas
-        return bigru_pallas(params, x, lengths)
+        from umpr_tpu.ops.gru_pallas import bigru_pallas, bigru_pallas_nodx
+        return (bigru_pallas if need_dx else bigru_pallas_nodx)(
+            params, x, lengths)
     return bigru_scan(params, x, lengths)
+
+
+def bigru_split(params, x, lengths, S, use_pallas=False, need_dx=True):
+    """Bi-GRU returning BOTH true-time consumer layouts:
+      Y_pos  (N/S, S*L, 2H) -- the affinity-attention positions layout;
+      Y_sent (N, L, 2H)     -- the per-sentence S-Net layout.
+
+    x: (N, L, E) sentence rows -- view an embedding lookup (B, S, L, E)
+    with .reshape(B*S, L, E) (a free leading-dim merge).  On the
+    fused-projection Pallas path the layout conversions run as single-pass
+    VMEM repack kernels (umpr_tpu/ops/gru_pallas.py); elsewhere they are
+    the plain XLA reshapes this API replaces."""
+    hidden = params["fwd"]["w_hh"].shape[0]
+    N, L, E = x.shape
+    if use_pallas and hidden % 64 == 0:
+        from umpr_tpu.ops import gru_pallas as gp
+        if gp._proj_mode(E) == "fused" and N % S == 0:
+            f = (gp.bigru_pallas_split if need_dx
+                 else gp.bigru_pallas_split_nodx)
+            return f(params, x, lengths, S)
+    y = bigru(params, x, lengths, use_pallas, need_dx)
+    return y.reshape(N // S, S * L, 2 * hidden), y
 
 
 def torch_gru_params(params):

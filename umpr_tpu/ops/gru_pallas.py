@@ -336,11 +336,17 @@ def _pallas_project_fwd(xc, wih, bih, H, N, L):
     )(xc, wih, bih)
 
 
-def _proj_bwd_kernel(dxg_ref, xc_ref, wih_t_ref, dxc_ref, dwih_ref, dbih_ref,
-                     dw_scr, db_scr, *, N, R, L):
+def _proj_bwd_kernel(dxg_ref, xc_ref, wih_t_ref, *out_and_scratch, N, R, L,
+                     emit_dxc):
     """One sweep over (row tile, timestep) blocks: dxc = dxg @ W^T, with
     dW_ih = xc^T @ dxg and db_ih = sum(dxg) accumulated in VMEM scratch
-    (sequential grid)."""
+    (sequential grid).  emit_dxc=False (the frozen-embedding case: the
+    input-stream gradient is dead, see bigru_pallas_nodx) drops the dxc
+    matmul and its (N, L*C) HBM write entirely."""
+    if emit_dxc:
+        dxc_ref, dwih_ref, dbih_ref, dw_scr, db_scr = out_and_scratch
+    else:
+        dwih_ref, dbih_ref, dw_scr, db_scr = out_and_scratch
     i, t = pl.program_id(0), pl.program_id(1)
 
     @pl.when((i == 0) & (t == 0))
@@ -357,9 +363,10 @@ def _proj_bwd_kernel(dxg_ref, xc_ref, wih_t_ref, dxc_ref, dwih_ref, dbih_ref,
     dxg = jnp.where(real, dxg_ref[:], jnp.zeros_like(dxg_ref[:]))
     x = jnp.where(real, xc_ref[:], jnp.zeros_like(xc_ref[:]))
 
-    dxc_ref[:] = jnp.dot(dxg, wih_t_ref[:],
-                         preferred_element_type=jnp.float32,
-                         precision=prec).astype(io)
+    if emit_dxc:
+        dxc_ref[:] = jnp.dot(dxg, wih_t_ref[:],
+                             preferred_element_type=jnp.float32,
+                             precision=prec).astype(io)
     dw_scr[0] += jax.lax.dot_general(
         x, dxg, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
@@ -371,13 +378,20 @@ def _proj_bwd_kernel(dxg_ref, xc_ref, wih_t_ref, dxc_ref, dwih_ref, dbih_ref,
         dbih_ref[:] = db_scr[:]
 
 
-def _pallas_project_bwd(dxg, xc, wih, H, N, L):
-    """-> (dxc (N, L*C), dW_blk (C, 6H) f32, db_blk (6H,) f32), consuming
-    dxg (N, L*6H) in the GRU backward kernel's native {1,0} layout."""
+def _pallas_project_bwd(dxg, xc, wih, H, N, L, emit_dxc=True):
+    """-> (dxc (N, L*C) | None, dW_blk (C, 6H) f32, db_blk (6H,) f32),
+    consuming dxg (N, L*6H) in the GRU backward kernel's native {1,0}
+    layout.  emit_dxc=False skips the input-stream gradient (frozen
+    embedding: dx is dead, but XLA cannot DCE through the kernel)."""
     R = min(N, _proj_rows(xc.dtype))
     io = xc.dtype
-    kernel = functools.partial(_proj_bwd_kernel, N=N, R=R, L=L)
-    dxc, dwih, dbih = pl.pallas_call(
+    kernel = functools.partial(_proj_bwd_kernel, N=N, R=R, L=L,
+                               emit_dxc=emit_dxc)
+    dxc_spec = [pl.BlockSpec((R, _PROJ_C), lambda i, t: (i, t),
+                             memory_space=pltpu.VMEM)] if emit_dxc else []
+    dxc_shape = ([jax.ShapeDtypeStruct((N, L * _PROJ_C), io)]
+                 if emit_dxc else [])
+    outs = pl.pallas_call(
         kernel,
         grid=(pl.cdiv(N, R), L),
         in_specs=[
@@ -385,15 +399,13 @@ def _pallas_project_bwd(dxg, xc, wih, H, N, L):
             pl.BlockSpec((R, _PROJ_C), lambda i, t: (i, t), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((R, _PROJ_C), lambda i, t: (i, t), memory_space=pltpu.VMEM),
+        out_specs=dxc_spec + [
             pl.BlockSpec((1, _PROJ_C, 6 * H), lambda i, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 6 * H), lambda i, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((N, L * _PROJ_C), io),
+        out_shape=dxc_shape + [
             jax.ShapeDtypeStruct((1, _PROJ_C, 6 * H), jnp.float32),
             jax.ShapeDtypeStruct((1, 1, 6 * H), jnp.float32),
         ],
@@ -404,13 +416,141 @@ def _pallas_project_bwd(dxg, xc, wih, H, N, L):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),  # accumulators
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * N * L * _PROJ_C * 6 * H,
-            bytes_accessed=xc.dtype.itemsize * N * L * (2 * _PROJ_C + 6 * H),
+            flops=2 * (2 if emit_dxc else 1) * N * L * _PROJ_C * 6 * H,
+            bytes_accessed=xc.dtype.itemsize * N * L
+            * ((2 if emit_dxc else 1) * _PROJ_C + 6 * H),
             transcendentals=0,
         ),
         interpret=_interpret(),
     )(dxg, xc, wih.T)
-    return dxc, dwih[0], dbih[0, 0]
+    if emit_dxc:
+        dxc, dwih, dbih = outs
+        return dxc, dwih[0], dbih[0, 0]
+    dwih, dbih = outs
+    return None, dwih[0], dbih[0, 0]
+
+
+# ------------------------------------------------- boundary repack kernels
+# The GRU kernels speak combined time over sentence rows ((N, L*2H) {1,0});
+# the model consumes TRUE-time tensors in two layouts: (B, S*L, 2H) for the
+# affinity attention and (B*S, L, 2H) for S-Net.  Expressed in XLA, the
+# conversions (reverse + concat + row<->column regrouping reshapes) run as
+# chains of materialized full-tensor copies at ~15-30 GB/s -- profiled at
+# 17-29% of the UMPR-R device step.  These kernels do each conversion in
+# ONE pass: one HBM read, the shuffles in VMEM, one HBM write per output.
+# (Mosaic has no `rev` primitive: time reversal is a static reversed-slice
+# concat, which lowers to the same VMEM shuffles.)
+
+_REPACK_K = 8  # batch rows per block (= 8*S sentence rows)
+
+
+def _gru_out_kernel(ycat_ref, pos_ref, sent_ref, *, k, S, L, H):
+    v = ycat_ref[:].reshape(k * S, L, 2 * H)
+    fwd = v[..., :H]
+    bwd = jnp.concatenate([v[:, L - 1 - t:L - t, H:] for t in range(L)],
+                          axis=1)  # un-flip the reversed-time lanes
+    y_sent = jnp.concatenate([fwd, bwd], axis=-1)       # (kS, L, 2H) true time
+    sent_ref[:] = y_sent
+    pos_ref[:] = y_sent.reshape(k, S * L, 2 * H)
+
+
+def _pallas_gru_outputs(y_cat, S, L, H):
+    """(N, L*2H) combined time -> ((N/S, S*L, 2H), (N, L, 2H)) true time."""
+    N = y_cat.shape[0]
+    B2 = N // S
+    k = min(_REPACK_K, B2)
+    kern = functools.partial(_gru_out_kernel, k=k, S=S, L=L, H=H)
+    return pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(B2, k),),
+        in_specs=[pl.BlockSpec((k * S, L * 2 * H), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((k, S * L, 2 * H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * S, L, 2 * H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B2, S * L, 2 * H), y_cat.dtype),
+            jax.ShapeDtypeStruct((N, L, 2 * H), y_cat.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=0, transcendentals=0,
+            bytes_accessed=3 * y_cat.dtype.itemsize * N * L * 2 * H),
+        interpret=_interpret(),
+    )(y_cat)
+
+
+def _gru_dy_kernel(dpos_ref, dsent_ref, dycat_ref, *, k, S, L, H):
+    dsum = dpos_ref[:].reshape(k * S, L, 2 * H) + dsent_ref[:]
+    fwd = dsum[..., :H]
+    bwd = jnp.concatenate([dsum[:, L - 1 - t:L - t, H:] for t in range(L)],
+                          axis=1)  # back to reversed (combined) time
+    dycat_ref[:] = jnp.concatenate([fwd, bwd], axis=-1).reshape(
+        k * S, L * 2 * H)
+
+
+def _pallas_gru_dy(dpos, dsent, S, L, H):
+    """VJP of _pallas_gru_outputs: sum both cotangents, re-flip, emit the
+    combined-time (N, L*2H) stream the backward kernel reads."""
+    N = dsent.shape[0]
+    B2 = N // S
+    k = min(_REPACK_K, B2)
+    kern = functools.partial(_gru_dy_kernel, k=k, S=S, L=L, H=H)
+    return pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(B2, k),),
+        in_specs=[
+            pl.BlockSpec((k, S * L, 2 * H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * S, L, 2 * H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k * S, L * 2 * H), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, L * 2 * H), dsent.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=0, transcendentals=0,
+            bytes_accessed=3 * dsent.dtype.itemsize * N * L * 2 * H),
+        interpret=_interpret(),
+    )(dpos, dsent)
+
+
+# sentence rows per stack-pad block: the in-kernel value intermediates
+# (the (R*L, E) -> (R, L, E) regroup, its reversed copy, and the padded
+# concat) live in scoped VMEM at 128-lane vreg granularity -- R=256
+# measured 23.4 MB > the 16 MB budget; 96 keeps ~8 MB of headroom
+_STACK_ROWS = 96
+
+
+def _stack_pad_kernel(x_ref, xc_ref, *, R, L, E):
+    v = x_ref[:]                                        # (R, L, E)
+    rev = jnp.concatenate([v[:, L - 1 - t:L - t] for t in range(L)], axis=1)
+    z = jnp.zeros((R, L, _PROJ_C - 2 * E), v.dtype)
+    xc_ref[:] = jnp.concatenate([v, rev, z], axis=-1).reshape(R, L * _PROJ_C)
+
+
+def _pallas_stack_pad(x, N, L, E):
+    """(N, L, E) sentence-row input (a free leading-dim view of the
+    (B, S, L, E) embedding lookup) -> the stacked+padded (N, L*C)
+    projection stream [x | x flipped | 0], replacing _build_xc's XLA
+    reverse + pad + relayout chain with one single-pass kernel."""
+    R = min(_STACK_ROWS, N)
+    kern = functools.partial(_stack_pad_kernel, R=R, L=L, E=E)
+    return pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(N, R),),
+        in_specs=[pl.BlockSpec((R, L, E), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((R, L * _PROJ_C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, L * _PROJ_C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=0, transcendentals=0,
+            bytes_accessed=x.dtype.itemsize * N * L * (E + _PROJ_C)),
+        interpret=_interpret(),
+    )(x)
 
 
 def _build_xg(params, x, H):
@@ -603,12 +743,13 @@ def _deinterleave(cat, H):
     return f, b
 
 
-@jax.custom_vjp
-def bigru_pallas(params, x, lengths):
-    """Drop-in equal to bigru_scan (umpr_tpu/ops/gru.py): (N, L, E) ->
-    (N, L, 2H) with packed-sequence masking semantics."""
-    y, _ = _bigru_pallas_fwd_impl(params, x, lengths)
-    return y
+def _make_bigru_pallas(need_dx):
+    @jax.custom_vjp
+    def f(params, x, lengths):
+        y, _ = _bigru_pallas_fwd_impl(params, x, lengths)
+        return y
+    f.defvjp(_vjp_fwd, functools.partial(_vjp_bwd, need_dx=need_dx))
+    return f
 
 
 def _vjp_fwd(params, x, lengths):
@@ -620,12 +761,31 @@ def _vjp_fwd(params, x, lengths):
     return y, (params, x_res, lengths, stream, hs_cat)
 
 
-def _vjp_bwd_fused(params, lengths, stream, hs_cat, dy):
-    """Backward for the fused-projection mode: the standard GRU backward
-    kernel emits dxg {1,0}, then the projection-backward kernel consumes it
-    in place -- dxc = dxg @ W^T plus the dW_ih/db_ih accumulation in one
-    sweep.  No relayout copies, no separate XLA contractions; outside work
-    is only the tiny block unpacking plus the dx un-stack."""
+def _vjp_bwd_fused(params, lengths, stream, hs_cat, dy, need_dx=True):
+    """Backward for the fused-projection mode, from a true-time (N, L, 2H)
+    cotangent (the XLA unflip builds dy_cat; the split API's repack kernel
+    replaces it, see _bwd_fused_from_dycat)."""
+    xg = stream[1]
+    in_dtype = xg.dtype
+    H = params["fwd"]["w_hh"].shape[0]
+    N = xg.shape[0]
+    L = xg.shape[1] // (6 * H)
+
+    dy = dy.astype(in_dtype)
+    dy_cat = jnp.concatenate([dy[..., :H], dy[:, ::-1, H:]], axis=-1)
+    dy_cat = dy_cat.reshape(N, L * 2 * H)
+    dparams, dx = _bwd_fused_from_dycat(params, lengths, stream, hs_cat,
+                                        dy_cat, need_dx=need_dx)
+    return dparams, dx, None
+
+
+def _bwd_fused_from_dycat(params, lengths, stream, hs_cat, dy_cat,
+                          need_dx=True):
+    """Fused-mode backward core: the GRU backward kernel emits dxg {1,0},
+    then the projection-backward kernel consumes it in place -- dxc =
+    dxg @ W^T plus the dW_ih/db_ih accumulation in one sweep.  No relayout
+    copies, no separate XLA contractions; outside work is only the tiny
+    block unpacking plus the dx un-stack."""
     xc, xg = stream                      # (N, L*C) and (N, L*6H)
     in_dtype = xg.dtype
     p32 = jax.tree.map(lambda a: a.astype(in_dtype), params)
@@ -634,15 +794,11 @@ def _vjp_bwd_fused(params, lengths, stream, hs_cat, dy):
     N = xg.shape[0]
     L = xg.shape[1] // (6 * H)
 
-    dy = dy.astype(in_dtype)
-    dy_cat = jnp.concatenate([dy[..., :H], dy[:, ::-1, H:]], axis=-1)
-    dy_cat = dy_cat.reshape(N, L * 2 * H)
-
     dxg_cat, dw_blk, db_blk = _pallas_backward(
         p32, xg, hs_cat, dy_cat, lengths, N, L, H)
     wih, _ = _proj_weights(p32, H, E)
     dxc_cat, dwih_blk, dbih_blk = _pallas_project_bwd(
-        dxg_cat, xc, wih, H, N, L)
+        dxg_cat, xc, wih, H, N, L, emit_dxc=need_dx)
 
     def blk_f(g):
         return dw_blk[0:H, 2 * g * H:(2 * g + 1) * H]
@@ -662,11 +818,16 @@ def _vjp_bwd_fused(params, lengths, stream, hs_cat, dy):
         axis=1)
     db_ih_f, db_ih_b = _deinterleave(dbih_blk, H)
 
-    # dxc columns [0, E) are true-time (fwd lanes), [E, 2E) flipped-time
-    # (bwd lanes), matching _build_xc's stacking; columns past 2E are the
-    # lane padding
-    dxc = dxc_cat.reshape(N, L, _PROJ_C)
-    dx = dxc[..., :E] + dxc[..., E:2 * E][:, ::-1]
+    if need_dx:
+        # dxc columns [0, E) are true-time (fwd lanes), [E, 2E) flipped-time
+        # (bwd lanes), matching _build_xc's stacking; columns past 2E are the
+        # lane padding
+        dxc = dxc_cat.reshape(N, L, _PROJ_C)
+        dx = dxc[..., :E] + dxc[..., E:2 * E][:, ::-1]
+    else:
+        # frozen-embedding case: the caller's dx cotangent is dead; emit
+        # zeros (free for XLA to fold away) instead of the (N, L*C) matmul
+        dx = jnp.zeros((N, L, E), in_dtype)
 
     dparams = {
         "fwd": {"w_ih": dw_ih_f, "w_hh": dw_hh_f,
@@ -677,13 +838,14 @@ def _vjp_bwd_fused(params, lengths, stream, hs_cat, dy):
     dparams = jax.tree.map(
         lambda g, p: g.astype(p.dtype), dparams,
         {k: params[k] for k in ("fwd", "bwd")})
-    return dparams, dx.astype(in_dtype), None
+    return dparams, dx.astype(in_dtype)
 
 
-def _vjp_bwd(res, dy):
+def _vjp_bwd(res, dy, need_dx=True):
     params, x, lengths, stream, hs_cat = res
     if _proj_mode(params["fwd"]["w_ih"].shape[0]) == "fused":
-        return _vjp_bwd_fused(params, lengths, stream, hs_cat, dy)
+        return _vjp_bwd_fused(params, lengths, stream, hs_cat, dy,
+                              need_dx=need_dx)
     xg = stream
     in_dtype = x.dtype
     x32 = x  # io dtype throughout: f32 exact path or bf16 mixed precision
@@ -717,19 +879,25 @@ def _vjp_bwd(res, dy):
     # path (deinterleave dxg, two honest-size contractions).
     dxg = dxg_cat.reshape(N, L, 6 * H)
     if _use_stacked_proj(E):
-        w2 = _block_diag(p32["fwd"]["w_ih"], p32["bwd"]["w_ih"], H)
-        dx2 = dxg @ w2.T                                      # (N, L, 2E)
-        dx = dx2[..., :E] + dx2[..., E:][:, ::-1]
         dw2 = jnp.einsum("nle,nlg->eg", _stack_time(x32), dxg,
                          preferred_element_type=jnp.float32)  # (2E, 6H)
         dw_ih_f = jnp.concatenate(
             [dw2[:E, 2 * g * H:(2 * g + 1) * H] for g in range(3)], axis=1)
         dw_ih_b = jnp.concatenate(
             [dw2[E:, (2 * g + 1) * H:(2 * g + 2) * H] for g in range(3)], axis=1)
+        if need_dx:
+            w2 = _block_diag(p32["fwd"]["w_ih"], p32["bwd"]["w_ih"], H)
+            dx2 = dxg @ w2.T                                  # (N, L, 2E)
+            dx = dx2[..., :E] + dx2[..., E:][:, ::-1]
+        else:
+            dx = jnp.zeros((N, L, E), in_dtype)
     else:
         dxg_f, dxg_b = _deinterleave(dxg, H)                  # (N, L, 3H) x2
-        dx = (dxg_f @ p32["fwd"]["w_ih"].T
-              + (dxg_b @ p32["bwd"]["w_ih"].T)[:, ::-1])
+        if need_dx:
+            dx = (dxg_f @ p32["fwd"]["w_ih"].T
+                  + (dxg_b @ p32["bwd"]["w_ih"].T)[:, ::-1])
+        else:
+            dx = jnp.zeros((N, L, E), in_dtype)
         dw_ih_f = jnp.einsum("nle,nlg->eg", x32, dxg_f,
                              preferred_element_type=jnp.float32)
         dw_ih_b = jnp.einsum("nle,nlg->eg", x32[:, ::-1], dxg_b,
@@ -749,4 +917,68 @@ def _vjp_bwd(res, dy):
     return dparams, dx.astype(in_dtype), None
 
 
-bigru_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+# Drop-in equal to bigru_scan (umpr_tpu/ops/gru.py): (N, L, E) ->
+# (N, L, 2H) with packed-sequence masking semantics.
+bigru_pallas = _make_bigru_pallas(need_dx=True)
+
+# Variant for callers whose input embeddings are FROZEN (every UMPR config:
+# reference model.py:237 freezes the GloVe table, and the pretrainers feed
+# frozen embeddings too): the x cotangent is dead, but XLA cannot DCE a
+# computation that lives inside a Pallas kernel, so the default path pays a
+# full (N, L*C) matmul + HBM write + boundary relayout for a gradient
+# nobody reads.  This variant returns zeros for dx (free to fold) and skips
+# the dxc work in every projection mode.
+bigru_pallas_nodx = _make_bigru_pallas(need_dx=False)
+
+
+# ---------------------------------------------------- split (repacked) API
+def _split_fwd_impl(params, x, lengths, S, emit_hs):
+    """Fused-projection forward from the (N, L, E) sentence-row input to
+    BOTH true-time consumer layouts via the repack kernels: no XLA
+    reverse / concat / regroup copies anywhere on the path."""
+    N, L, E = x.shape
+    H = params["fwd"]["w_hh"].shape[0]
+    p = params
+    if x.dtype != jnp.float32:
+        p = jax.tree.map(lambda a: a.astype(x.dtype), params)
+    xc = _pallas_stack_pad(x, N, L, E)
+    wih, bih = _proj_weights(p, H, E)
+    xg = _pallas_project_fwd(xc, wih, bih, H, N, L)
+    y_cat, hs_cat = _pallas_forward(p, xg, lengths, N, L, H, emit_hs)
+    y_pos, y_sent = _pallas_gru_outputs(y_cat, S, L, H)
+    return (y_pos, y_sent), ((xc, xg), hs_cat)
+
+
+def _make_bigru_pallas_split(need_dx):
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+    def f(params, x, lengths, S):
+        (y_pos, y_sent), _ = _split_fwd_impl(params, x, lengths, S,
+                                             emit_hs=False)
+        return y_pos, y_sent
+
+    def fwd(params, x, lengths, S):
+        outs, (stream, hs_cat) = _split_fwd_impl(params, x, lengths, S,
+                                                 emit_hs=True)
+        return outs, (params, lengths, stream, hs_cat)
+
+    def bwd(S, res, cts):
+        params, lengths, stream, hs_cat = res
+        dpos, dsent = cts
+        io = stream[1].dtype
+        H = params["fwd"]["w_hh"].shape[0]
+        L = dsent.shape[1]
+        dy_cat = _pallas_gru_dy(dpos.astype(io), dsent.astype(io), S, L, H)
+        dparams, dx = _bwd_fused_from_dycat(params, lengths, stream, hs_cat,
+                                            dy_cat, need_dx=need_dx)
+        return dparams, dx, None
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+# (params, x (N, L, E), lengths (N,), S) ->
+#   (Y_pos (N/S, S*L, 2H), Y_sent (N, L, 2H)), both in TRUE time: the
+# attention and S-Net layouts.  x is the embedding lookup viewed with its
+# leading dims merged ((B, S, L, E) -> (B*S, L, E), a free reshape).
+bigru_pallas_split = _make_bigru_pallas_split(need_dx=True)
+bigru_pallas_split_nodx = _make_bigru_pallas_split(need_dx=False)

@@ -149,8 +149,10 @@ def pretrain_rnet_forward(params, u_ids, u_len, i_ids, i_len, labels):
     i_emb = emb[i_ids][:, None]
     Lb = masking.batch_max_length(u_len, i_len)
     exists = masking.exists_mask(jnp.int32(1), Lb, 1, L)
-    _, _, _, _, att_u, att_i = rnet(params["rnet"], u_emb, i_emb,
-                                    u_len[:, None], i_len[:, None], exists)
+    both = jnp.concatenate([u_emb, i_emb], axis=0)  # (2B, 1, L, D)
+    _, _, _, _, _, att_u, att_i = rnet(params["rnet"], both,
+                                       u_len[:, None], i_len[:, None],
+                                       exists)
     att = jnp.concatenate([att_u, att_i], axis=-1)
     prob = jax.nn.sigmoid(linear(params["linear"], att))[:, 0]
     prob = jnp.clip(prob, 1e-7, 1 - 1e-7)
