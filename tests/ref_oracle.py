@@ -27,6 +27,15 @@ from torch import nn
 REF = "/root/reference"
 
 
+# Image edge length the fake torchvision VGG16 is built for.  224 IS
+# torchvision (AdaptiveAvgPool2d(7) is an identity on the 7x7 feature map);
+# smaller multiples of 32 shrink the first classifier Linear the same way
+# umpr_tpu.models.visual_net.init_vgg16(img_size=...) does, so reduced-size
+# parity runs (e.g. the full-UMPR training-dynamics comparison, whose torch
+# side is CPU-bound) compare identical architectures.
+FAKE_VGG_IMG_SIZE = 224
+
+
 def _fake_torchvision():
     tv = types.ModuleType("torchvision")
     models = types.ModuleType("torchvision.models")
@@ -41,13 +50,14 @@ def _fake_torchvision():
             else:
                 layers += [nn.Conv2d(in_ch, v, 3, padding=1), nn.ReLU(inplace=True)]
                 in_ch = v
+        s = FAKE_VGG_IMG_SIZE // 32  # five 2x2 pools
         class VGG(nn.Module):
             def __init__(self):
                 super().__init__()
                 self.features = nn.Sequential(*layers)
-                self.avgpool = nn.AdaptiveAvgPool2d((7, 7))
+                self.avgpool = nn.AdaptiveAvgPool2d((s, s))
                 self.classifier = nn.Sequential(
-                    nn.Linear(512 * 7 * 7, 4096), nn.ReLU(True), nn.Dropout(),
+                    nn.Linear(512 * s * s, 4096), nn.ReLU(True), nn.Dropout(),
                     nn.Linear(4096, 4096), nn.ReLU(True), nn.Dropout(),
                     nn.Linear(4096, num_classes))
             def forward(self, x):

@@ -118,3 +118,129 @@ def test_per_epoch_mse_tracks_reference(corpus):
     assert abs(ours[0] - ours[-1]) > 1e-6, "dead seed: trajectory is flat"
     np.testing.assert_allclose(ours, ref, rtol=2e-3,
                                err_msg=f"ours {ours} vs reference {ref}")
+
+
+@pytest.fixture(scope="module")
+def yelp_photo_corpus(tmp_path_factory):
+    """Tiny yelp-style corpus with decodable photos in two views."""
+    import json
+    cv2 = pytest.importorskip("cv2")
+    from umpr_tpu.text.preprocess import YELP_COLS
+
+    root = tmp_path_factory.mktemp("dynfull")
+    rng = random.Random(9)
+    views = ["food", "inside"]
+    with open(root / "reviews.json", "w") as f:
+        for u in range(30):
+            for it in rng.sample(range(6), 4):
+                sents = [" ".join(rng.choices(WORDS, k=rng.randint(6, 12)))
+                         for _ in range(rng.randint(2, 4))]
+                f.write(json.dumps({"user_id": f"U{u}", "business_id": f"I{it}",
+                                    "text": ". ".join(sents) + ".",
+                                    "stars": float(rng.randint(1, 5))}) + "\n")
+    from umpr_tpu.text.preprocess import process_dataset
+    process_dataset(str(root / "reviews.json"), "", str(root), 0.8, YELP_COLS)
+    with open(root / "photos.json", "w") as f:
+        for it in range(6):
+            for v in views:
+                f.write(json.dumps({"business_id": f"I{it}",
+                                    "photo_id": f"I{it}_{v}",
+                                    "label": v}) + "\n")
+    (root / "photos").mkdir()
+    nprng = np.random.default_rng(3)
+    for it in range(6):
+        for v in views:
+            img = nprng.integers(0, 255, (40, 48, 3)).astype(np.uint8)
+            cv2.imwrite(str(root / "photos" / f"I{it}_{v}.jpg"), img)
+    nprng = np.random.default_rng(0)
+    with open(root / "glove.txt", "w") as f:
+        for w in WORDS:
+            f.write(w + " " + " ".join(
+                f"{x:.4f}" for x in nprng.standard_normal(16)) + "\n")
+    return root
+
+
+@pytest.mark.slow
+def test_full_umpr_per_epoch_mse_tracks_reference(yelp_photo_corpus):
+    """FULL multi-modal trajectory parity: ControlNet + VisualNet + loss_v
+    composed through the optimizer over epochs (the last untested
+    composition -- per-step forward/grad parity lives in test_model_parity).
+    Dropout disabled on both sides (unrelated RNG streams); photo_size 32
+    shrinks the VGG classifier identically on both sides
+    (ref_oracle.FAKE_VGG_IMG_SIZE)."""
+    import tests.ref_oracle as ref_oracle
+    from tests.ref_oracle import (import_reference_model, patch_improved_rnn,
+                                  load_umpr, batch_to_reference, RefConfig)
+    from torch import nn
+
+    IMG, VIEWS = 32, ["food", "inside"]
+    corpus = yelp_photo_corpus
+    cfg = Config(argv=["--device", "cpu", "--min_sent_count", "1",
+                       "--review_net_only", "False",
+                       "--views", str(VIEWS), "--photo_size", str(IMG)])
+    w2v = Word2vec(str(corpus / "glove.txt"))
+    ds = build_dataset(str(corpus / "train.csv"), str(corpus / "photos.json"),
+                       str(corpus / "photos"), w2v, cfg)
+    assert len(ds) >= 2 * BS
+    dims = ModelDims(review_net_only=False, view_size=len(VIEWS),
+                     photo_size=IMG)
+    params0 = init_umpr(jax.random.PRNGKey(SEED), dims, w2v.embedding)
+
+    def loader(**kw):
+        return BatchLoader(ds, BS, ignore_photos=False, resize=(IMG, IMG),
+                           **kw)
+
+    # ---- ours (dropout off: rng None) ----
+    trainable, frozen = split_frozen(params0)
+    tx = make_optimizer(WD)
+    opt_state = tx.init(trainable)
+    step = make_train_step(dims, tx, donate=False)
+    eval_step = make_eval_step(dims)
+    ours = []
+    for epoch in range(EPOCHS):
+        lr = lr_at_epoch(LR, 0.99, epoch)
+        for b in loader(shuffle=True, seed=epoch):
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            trainable, opt_state, _, _ = step(trainable, frozen, opt_state,
+                                              b, lr, None)
+        ours.append(evaluate_mse(
+            eval_step, trainable, frozen,
+            ({k: jnp.asarray(v) for k, v in bb.items()} for bb in loader())))
+
+    # ---- reference torch, same init / batch order, dropout p=0 ----
+    ref_oracle.FAKE_VGG_IMG_SIZE = IMG
+    ref_mod = import_reference_model()
+    patch_improved_rnn(ref_mod)
+    model = load_umpr(ref_mod, params0,
+                      RefConfig(review_net_only=False, views=VIEWS))
+    for m in model.modules():
+        if isinstance(m, nn.Dropout):
+            m.p = 0.0
+    opt = torch.optim.Adam([
+        {"params": [p for n, p in model.named_parameters()
+                    if "bias" not in n and p.requires_grad]},
+        {"params": [p for n, p in model.named_parameters()
+                    if "bias" in n and p.requires_grad], "weight_decay": 0.0},
+    ], LR, weight_decay=WD)
+    sch = torch.optim.lr_scheduler.ExponentialLR(opt, 0.99)
+    ref = []
+    for epoch in range(EPOCHS):
+        model.train()
+        for b in loader(shuffle=True, seed=epoch, pad_to_full=False):
+            _, loss = model(*batch_to_reference(b))
+            opt.zero_grad(); loss.backward(); opt.step()
+        sch.step()
+        model.eval()
+        tot, cnt = 0.0, 0
+        with torch.no_grad():
+            for b in loader(pad_to_full=False):
+                pred, _ = model(*batch_to_reference(b))
+                tot += float(((pred - torch.tensor(b["ratings"])) ** 2).sum())
+                cnt += len(b["ratings"])
+        ref.append(tot / cnt)
+
+    assert abs(ours[0] - ours[-1]) > 1e-6, "dead seed: trajectory is flat"
+    # wider bound than the review-only twin: torch's oneDNN conv grads carry
+    # ~0.7%-relative fp variance (PARITY.md) that trajectories amplify early
+    np.testing.assert_allclose(ours, ref, rtol=3e-2,
+                               err_msg=f"ours {ours} vs reference {ref}")

@@ -4,18 +4,35 @@ same data, same init, same hyperparameters, per-epoch MSE trajectory.
 Usage (from the repo root; make a corpus first with
 tools/make_synthetic_corpus.py + umpr_tpu.text.preprocess):
 
+    # UMPR-R (review net only)
     python tools/dynamics_parity.py --data_dir /tmp/corpus \
         --glove /tmp/corpus/glove.txt [--epochs 6] [--batch 64] [--seed 2]
+
+    # FULL multi-modal UMPR (ControlNet + VisualNet + loss_v through the
+    # optimizer over epochs) -- needs a corpus with decodable photos, e.g.
+    #   python tools/make_synthetic_corpus.py --out /tmp/yc --style yelp \
+    #       --photos --users 120 --items 16 --reviews_per_user 8
+    #   python -m umpr_tpu.text.preprocess --data_type yelp \
+    #       --data_path /tmp/yc/reviews.json --save_dir /tmp/yc
+    python tools/dynamics_parity.py --data_dir /tmp/yc --glove /tmp/yc/glove.txt \
+        --full --views "['food','inside','outside','drink']" [--photo_size 64]
+
+Dropout is disabled on BOTH sides in full mode (torch Dropout.p=0, ours
+dropout_rng=None): the frameworks draw from unrelated RNG streams, so any
+dropout would turn a numerics comparison into noise.  photo_size < 224 is
+exact on both sides (the VGG adaptive pool absorbs it) and keeps the torch
+oracle tractable on CPU.
 
 Round-1 result (2,400-sample corpus, B=64, seed 2): per-epoch MSE identical
 to 4 decimals for all 6 epochs (see PARITY.md).  NOTE: ~50% of seeds are
 dead at birth through the reference's ReLU head -- pick one whose initial
 predictions are alive (seed 2 on the round-1 corpora).
 """
-import argparse, sys, types, numpy as np
+import argparse, ast, sys, numpy as np
 sys.path.insert(0, ".")  # run from repo root
 import jax; jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp, torch
+from torch import nn
 from umpr_tpu.config import Config
 from umpr_tpu.text.vocab import Word2vec
 from umpr_tpu.data.dataset import build_dataset
@@ -33,39 +50,67 @@ ap.add_argument("--batch", type=int, default=64)
 ap.add_argument("--lr", type=float, default=0.003)
 ap.add_argument("--seed", type=int, default=2)
 ap.add_argument("--min_sent_count", type=int, default=5)
+ap.add_argument("--full", action="store_true",
+                help="full multi-modal UMPR (photos + ControlNet + "
+                     "VisualNet + loss_v)")
+ap.add_argument("--views", default="['food']")
+ap.add_argument("--photo_size", type=int, default=64)
 args = ap.parse_args()
 
-cfg = Config(argv=["--min_sent_count", str(args.min_sent_count),
-                   "--review_net_only", "True"])
+views = ast.literal_eval(args.views)
+cfg_args = ["--min_sent_count", str(args.min_sent_count),
+            "--review_net_only", str(not args.full)]
+if args.full:
+    cfg_args += ["--views", args.views, "--photo_size", str(args.photo_size)]
+cfg = Config(argv=cfg_args)
 w2v = Word2vec(args.glove)
 train_ds = build_dataset(f"{args.data_dir}/train.csv",
                          f"{args.data_dir}/photos.json",
                          f"{args.data_dir}/photos", w2v, cfg)
-print(f"{len(train_ds)} samples")
-dims = ModelDims(review_net_only=True)
+print(f"{len(train_ds)} samples ({'full UMPR' if args.full else 'UMPR-R'}, "
+      f"views={views if args.full else 'n/a'})")
+dims = ModelDims(review_net_only=not args.full, view_size=len(views),
+                 photo_size=args.photo_size)
 params0 = init_umpr(jax.random.PRNGKey(args.seed), dims, w2v.embedding)
 
 LR, WD, EPOCHS, BS = args.lr, 1e-3, args.epochs, args.batch
+resize = (args.photo_size, args.photo_size)
+
+
+def loader(shuffle=False, seed=0, pad_to_full=True):
+    return BatchLoader(train_ds, BS, shuffle=shuffle, seed=seed,
+                       ignore_photos=not args.full, resize=resize,
+                       pad_to_full=pad_to_full)
+
+
 # ---- ours ----
 trainable, frozen = split_frozen(params0)
 tx = make_optimizer(WD)
 opt_state = tx.init(trainable)
 step = make_train_step(dims, tx, donate=False)
 eval_step = make_eval_step(dims)
+# dropout disabled (None rng): see module docstring
+drng = None if args.full else jax.random.PRNGKey(0)
 ours_mse = []
 for epoch in range(EPOCHS):
     lr = lr_at_epoch(LR, 0.99, epoch)
-    loader = BatchLoader(train_ds, BS, shuffle=True, seed=epoch)
-    for b in loader:
+    for b in loader(shuffle=True, seed=epoch):
         b = {k: jnp.asarray(v) for k, v in b.items()}
-        trainable, opt_state, loss, _ = step(trainable, frozen, opt_state, b, lr, jax.random.PRNGKey(0))
+        trainable, opt_state, loss, _ = step(trainable, frozen, opt_state, b, lr, drng)
     mse = evaluate_mse(eval_step, trainable, frozen,
-                       ({k: jnp.asarray(v) for k, v in bb.items()} for bb in BatchLoader(train_ds, BS)))
+                       ({k: jnp.asarray(v) for k, v in bb.items()} for bb in loader()))
     ours_mse.append(mse)
+    print(f"ours epoch {epoch}: train-set mse {mse:.4f}", flush=True)
 
 # ---- reference torch, same params0 and same batch order ----
+import tests.ref_oracle as ref_oracle
+ref_oracle.FAKE_VGG_IMG_SIZE = args.photo_size  # match our classifier sizing
 ref = import_reference_model(); patch_improved_rnn(ref)
-model = load_umpr(ref, params0, RefConfig(review_net_only=True))
+model = load_umpr(ref, params0,
+                  RefConfig(review_net_only=not args.full, views=views))
+for m in model.modules():
+    if isinstance(m, nn.Dropout):
+        m.p = 0.0  # see module docstring
 opt = torch.optim.Adam([
     {"params": [p for n,p in model.named_parameters() if "bias" not in n and p.requires_grad]},
     {"params": [p for n,p in model.named_parameters() if "bias" in n and p.requires_grad], "weight_decay": 0.0},
@@ -74,18 +119,18 @@ sch = torch.optim.lr_scheduler.ExponentialLR(opt, 0.99)
 ref_mse = []
 for epoch in range(EPOCHS):
     model.train()
-    loader = BatchLoader(train_ds, BS, shuffle=True, seed=epoch, pad_to_full=False)
-    for b in loader:
-        args = batch_to_reference(b)
-        _, loss = model(*args)
+    for b in loader(shuffle=True, seed=epoch, pad_to_full=False):
+        targs = batch_to_reference(b)
+        _, loss = model(*targs)
         opt.zero_grad(); loss.backward(); opt.step()
     sch.step()
     model.eval(); tot, cnt = 0.0, 0
     with torch.no_grad():
-        for b in BatchLoader(train_ds, BS, pad_to_full=False):
+        for b in loader(pad_to_full=False):
             pred, _ = model(*batch_to_reference(b))
             tot += float(((pred - torch.tensor(b["ratings"]))**2).sum()); cnt += len(b["ratings"])
     ref_mse.append(tot/cnt)
+    print(f"ref  epoch {epoch}: train-set mse {ref_mse[-1]:.4f}", flush=True)
 
 print("epoch  ours-mse  torch-ref-mse")
 for e in range(EPOCHS):
