@@ -1,0 +1,181 @@
+"""Matched-conditions MSE parity at Music-small scale (VERDICT r2 item #2).
+
+Runs the full reference training protocol (reference main.py:16-61: B=64,
+lr decay 0.99/epoch, Adam with no weight decay on biases, valid-MSE
+eval -> save-best -> final test MSE on the best model) on a ~65k-review
+corpus under MATCHED conditions across frameworks:
+
+- same initial parameters (our init_umpr(seed) pushed into the torch
+  reference via tests.ref_oracle.load_umpr);
+- same batch membership and order every epoch (BatchLoader(shuffle=True,
+  seed=epoch) on both sides);
+- per-EPOCH valid-MSE checkpoints (the 500-batch cadence of the production
+  trainers is per-step noise, not a protocol difference);
+- no dropout anywhere (the UMPR-R path has none in either framework).
+
+The two sides run as separate processes because the torch-CPU side takes
+hours on this host while ours takes minutes on one TPU chip:
+
+    python tools/scale_parity.py --data_dir /tmp/rc65k \
+        --glove /tmp/rc65k/glove.txt --side ours --out /tmp/sp_ours.json
+    python tools/scale_parity.py --data_dir /tmp/rc65k \
+        --glove /tmp/rc65k/glove.txt --side ref  --out /tmp/sp_ref.json
+
+Each writes JSON: {"side", "seed", "epochs", "valid_mse": [...],
+"best_epoch", "best_valid_mse", "test_mse"}.  Compare test_mse across the
+two files; the BASELINE.json criterion is agreement within 1%.
+
+Reference protocol being matched: /root/reference/main.py:16-61 (training
+loop, save-best) and main.py:88-99 (test on best); reference defaults
+/root/reference/config.py (batch_size 64, learning_rate via CLI,
+lr_decay 0.99, l2_regularization 1e-3, epochs 20).
+"""
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")  # run from repo root
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--data_dir", required=True)
+ap.add_argument("--glove", required=True)
+ap.add_argument("--side", choices=["ours", "ref"], required=True)
+ap.add_argument("--out", required=True)
+ap.add_argument("--epochs", type=int, default=20)
+ap.add_argument("--batch", type=int, default=64)
+ap.add_argument("--lr", type=float, default=0.003)
+ap.add_argument("--seed", type=int, default=5)
+ap.add_argument("--min_sent_count", type=int, default=5)
+ap.add_argument("--cpu", action="store_true",
+                help="force jax onto CPU even for --side ours")
+args = ap.parse_args()
+
+import jax
+
+if args.side == "ref" or args.cpu:
+    # the torch side must not touch the TPU relay (one device process at
+    # a time on this host); init_umpr's threefry draws are bit-identical
+    # across platforms, so params0 still matches the ours-side run
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+from umpr_tpu.config import Config
+from umpr_tpu.data.dataset import build_dataset
+from umpr_tpu.data.loader import BatchLoader
+from umpr_tpu.models.umpr import ModelDims, init_umpr
+from umpr_tpu.text.vocab import Word2vec
+from umpr_tpu.train.optim import lr_at_epoch, make_optimizer, split_frozen
+from umpr_tpu.train.step import evaluate_mse, make_eval_step, make_train_step
+
+cfg = Config(argv=["--review_net_only", "True",
+                   "--min_sent_count", str(args.min_sent_count),
+                   "--batch_size", str(args.batch)])
+w2v = Word2vec(args.glove)
+splits = {}
+for name in ("train", "valid", "test"):
+    splits[name] = build_dataset(f"{args.data_dir}/{name}.csv",
+                                 f"{args.data_dir}/photos.json",
+                                 f"{args.data_dir}/photos", w2v, cfg)
+print(f"{args.side}: train {len(splits['train'])} valid {len(splits['valid'])} "
+      f"test {len(splits['test'])}", flush=True)
+
+dims = ModelDims(review_net_only=True)
+params0 = init_umpr(jax.random.PRNGKey(args.seed), dims, w2v.embedding)
+LR, WD, EPOCHS, BS = args.lr, cfg.l2_regularization, args.epochs, args.batch
+
+
+def loader(split, shuffle=False, seed=0, pad_to_full=True):
+    return BatchLoader(splits[split], BS, shuffle=shuffle, seed=seed,
+                       ignore_photos=True, pad_to_full=pad_to_full)
+
+
+result = {"side": args.side, "seed": args.seed, "epochs": EPOCHS,
+          "batch": BS, "lr": LR, "valid_mse": []}
+
+if args.side == "ours":
+    trainable, frozen = split_frozen(params0)
+    tx = make_optimizer(WD)
+    opt_state = tx.init(trainable)
+    step = make_train_step(dims, tx)
+    eval_step = make_eval_step(dims)
+    drng = jax.random.PRNGKey(0)  # unused: no dropout in the UMPR-R path
+    best = (float("inf"), -1, None)
+    for epoch in range(EPOCHS):
+        lr = lr_at_epoch(LR, cfg.lr_decay, epoch)
+        for b in loader("train", shuffle=True, seed=epoch):
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            trainable, opt_state, loss, _ = step(trainable, frozen, opt_state,
+                                                 b, lr, drng)
+        mse = evaluate_mse(eval_step, trainable, frozen,
+                           ({k: jnp.asarray(v) for k, v in bb.items()}
+                            for bb in loader("valid")))
+        result["valid_mse"].append(mse)
+        if mse < best[0]:
+            best = (mse, epoch, jax.device_get(trainable))
+        print(f"ours epoch {epoch:2d}: valid mse {mse:.6f}"
+              f"{'  (best)' if best[1] == epoch else ''}", flush=True)
+    result["best_valid_mse"], result["best_epoch"] = best[0], best[1]
+    best_trainable = jax.device_put(best[2])
+    result["test_mse"] = evaluate_mse(
+        eval_step, best_trainable, frozen,
+        ({k: jnp.asarray(v) for k, v in bb.items()}
+         for bb in loader("test")))
+else:
+    import copy
+
+    import torch
+    from torch import nn
+
+    from tests.ref_oracle import (RefConfig, batch_to_reference,
+                                  import_reference_model, load_umpr,
+                                  patch_improved_rnn)
+    torch.manual_seed(0)  # inconsequential: all params come from params0
+    ref = import_reference_model()
+    patch_improved_rnn(ref)
+    model = load_umpr(ref, params0, RefConfig(review_net_only=True))
+    opt = torch.optim.Adam([
+        {"params": [p for n, p in model.named_parameters()
+                    if "bias" not in n and p.requires_grad]},
+        {"params": [p for n, p in model.named_parameters()
+                    if "bias" in n and p.requires_grad], "weight_decay": 0.0},
+    ], LR, weight_decay=WD)
+    sch = torch.optim.lr_scheduler.ExponentialLR(opt, cfg.lr_decay)
+
+    def torch_mse(split):
+        model.eval()
+        tot, cnt = 0.0, 0
+        with torch.no_grad():
+            for b in loader(split, pad_to_full=False):
+                pred, _ = model(*batch_to_reference(b))
+                tot += float(((pred - torch.tensor(b["ratings"])) ** 2).sum())
+                cnt += len(b["ratings"])
+        return tot / cnt
+
+    best = (float("inf"), -1, None)
+    for epoch in range(EPOCHS):
+        model.train()
+        for b in loader("train", shuffle=True, seed=epoch, pad_to_full=False):
+            _, loss = model(*batch_to_reference(b))
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        sch.step()
+        mse = torch_mse("valid")
+        result["valid_mse"].append(mse)
+        if mse < best[0]:
+            best = (mse, epoch, copy.deepcopy(model.state_dict()))
+        print(f"ref  epoch {epoch:2d}: valid mse {mse:.6f}"
+              f"{'  (best)' if best[1] == epoch else ''}", flush=True)
+    result["best_valid_mse"], result["best_epoch"] = best[0], best[1]
+    model.load_state_dict(best[2])
+    result["test_mse"] = torch_mse("test")
+
+print(f"{args.side}: best valid {result['best_valid_mse']:.6f} "
+      f"(epoch {result['best_epoch']}), test mse {result['test_mse']:.6f}",
+      flush=True)
+with open(args.out, "w") as f:
+    json.dump(result, f, indent=1)
+print(f"wrote {args.out}", flush=True)
