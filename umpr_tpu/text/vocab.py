@@ -11,8 +11,13 @@ Reproduces the observable behavior of the reference's ``Word2vec`` class
 - the GloVe text loader appends words in file order (word2vec.py:46-52).
 
 The gensim loader of the reference (word2vec.py:54-64) required the gensim
-package, which this environment does not ship; two replacements cover it:
+package, which this environment does not ship; three replacements cover it:
 
+- ``source='gensim'`` accepts the reference's actual input — a
+  ``gensim.models.Word2Vec.save()`` model file — parsed WITHOUT gensim by
+  ``umpr_tpu.text.gensim_load`` (restricted stub unpickler + .npy sidecar
+  restore), reproducing the reference's iteration order, count sort, and
+  its break-at-``len(embedding) >= vocab_size`` truncation quirk exactly;
 - ``source='arrays'`` for the pretraining path: the pretrainers
   (umpr_tpu/pretrain) train their own skip-gram embeddings and hand the
   (vocab, vectors) pair straight in, sorted by corpus frequency and
@@ -39,7 +44,7 @@ class Word2vec:
 
     def __init__(self, emb_path=None, source="glove", vocab_size=0, *,
                  vocab=None, vectors=None, counts=None):
-        assert source in ("glove", "word2vec", "arrays"), \
+        assert source in ("glove", "word2vec", "gensim", "arrays"), \
             "Please set embedding source name correctly"
         self.padding = self.PAD
         self.unknown = self.UNK
@@ -47,9 +52,16 @@ class Word2vec:
         self.vocab = [self.PAD, self.UNK, self.NUM]
         self.word2index = {self.PAD: 0, self.UNK: 1, self.NUM: 2}
 
-        if source == "glove" and self._has_word2vec_header(emb_path):
-            source = "word2vec"  # CLI convenience: sniff the header
         if source == "glove":
+            # CLI convenience: sniff the two binary-ish alternatives
+            from .gensim_load import sniff_pickle
+            if sniff_pickle(emb_path):
+                source = "gensim"
+            elif self._has_word2vec_header(emb_path):
+                source = "word2vec"
+        if source == "gensim":
+            words, vecs = self._read_gensim(emb_path, vocab_size)
+        elif source == "glove":
             words, vecs = self._read_glove(emb_path)
         elif source == "word2vec":
             words, vecs = self._read_word2vec_text(emb_path)
@@ -123,6 +135,35 @@ class Word2vec:
         return len(self.embedding)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _read_gensim(emb_path, vocab_size):
+        """Load a ``gensim.models.Word2Vec.save()`` model file without the
+        gensim package (umpr_tpu.text.gensim_load) and reproduce the
+        reference's consumption semantics EXACTLY (word2vec.py:54-64):
+
+        - ``vocab_size == 0``: every word, in the model dict's stored
+          iteration order (gensim's corpus-discovery order);
+        - ``vocab_size > 0``: stable-sort by corpus count descending, then
+          the reference's loop breaks once ``len(self.embedding) >=
+          vocab_size`` *counting the 3 reserved rows*, so it keeps
+          ``vocab_size - 3`` words (floor 1) — quirk preserved."""
+        from .gensim_load import extract_keyed_vectors, load_gensim_model
+        vocab_dict, vectors = extract_keyed_vectors(load_gensim_model(emb_path))
+        items = list(vocab_dict.items())
+        if vocab_size > 0:
+            items = sorted(items, key=lambda x: x[1].count,
+                           reverse=True)[:vocab_size]
+        words, rows = [], []
+        for w, entry in items:
+            words.append(w)
+            rows.append(np.asarray(vectors[entry.index], dtype=np.float32))
+            if 0 < vocab_size <= 3 + len(rows):
+                break
+        vecs = (np.stack(rows) if rows
+                else np.zeros((0, vectors.shape[1] if vectors.ndim == 2 else 0),
+                              np.float32))
+        return words, vecs
+
     @staticmethod
     def _has_word2vec_header(emb_path):
         """True when the first line is exactly two positive integers
