@@ -188,6 +188,35 @@ def batch_to_reference(batch):
     return args
 
 
+def make_reference_optimizer(model, lr, weight_decay, lr_decay=0.99):
+    """The reference's exact optimizer setup (main.py:16-19): Adam with L2
+    on non-bias params only, exponential per-epoch lr decay.  Shared by the
+    trajectory-parity drivers (tools/dynamics_parity.py, tools/
+    scale_parity.py) so the protocol can't silently fork between them."""
+    opt = torch.optim.Adam([
+        {"params": [p for n, p in model.named_parameters()
+                    if "bias" not in n and p.requires_grad]},
+        {"params": [p for n, p in model.named_parameters()
+                    if "bias" in n and p.requires_grad], "weight_decay": 0.0},
+    ], lr, weight_decay=weight_decay)
+    sch = torch.optim.lr_scheduler.ExponentialLR(opt, lr_decay)
+    return opt, sch
+
+
+def reference_dataset_mse(model, batches):
+    """Dataset MSE through the reference model (its evaluate_mse semantics,
+    src/evaluate.py:6-14: sum of squared errors / sample count).  `batches`
+    yields OUR loader dicts (pad_to_full=False)."""
+    model.eval()
+    tot, cnt = 0.0, 0
+    with torch.no_grad():
+        for b in batches:
+            pred, _ = model(*batch_to_reference(b))
+            tot += float(((pred - torch.tensor(b["ratings"])) ** 2).sum())
+            cnt += len(b["ratings"])
+    return tot / cnt
+
+
 class RefConfig:
     """Minimal stand-in for the reference Config object."""
     def __init__(self, **kw):

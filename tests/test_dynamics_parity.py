@@ -161,7 +161,8 @@ def yelp_photo_corpus(tmp_path_factory):
 
 
 @pytest.mark.slow
-def test_full_umpr_per_epoch_mse_tracks_reference(yelp_photo_corpus):
+def test_full_umpr_per_epoch_mse_tracks_reference(yelp_photo_corpus,
+                                                  monkeypatch):
     """FULL multi-modal trajectory parity: ControlNet + VisualNet + loss_v
     composed through the optimizer over epochs (the last untested
     composition -- per-step forward/grad parity lives in test_model_parity).
@@ -208,7 +209,9 @@ def test_full_umpr_per_epoch_mse_tracks_reference(yelp_photo_corpus):
             ({k: jnp.asarray(v) for k, v in bb.items()} for bb in loader())))
 
     # ---- reference torch, same init / batch order, dropout p=0 ----
-    ref_oracle.FAKE_VGG_IMG_SIZE = IMG
+    # monkeypatch (not bare assignment): later tests in the same process
+    # build the fake torchvision VGG at the default 224
+    monkeypatch.setattr(ref_oracle, "FAKE_VGG_IMG_SIZE", IMG)
     ref_mod = import_reference_model()
     patch_improved_rnn(ref_mod)
     model = load_umpr(ref_mod, params0,

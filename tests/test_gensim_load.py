@@ -186,10 +186,16 @@ def test_gensim4_layout(tmp_path):
 def test_unpickler_rejects_arbitrary_globals(tmp_path):
     """The restricted unpickler must refuse non-numpy/stdlib globals — the
     code-execution surface gensim's own loader leaves open."""
-    path = str(tmp_path / "evil.model")
-    evil = b"\x80\x02cos\nsystem\nq\x00."  # GLOBAL os.system
-    with open(path, "wb") as f:
-        f.write(evil)
     from umpr_tpu.text.gensim_load import load_gensim_model
-    with pytest.raises(pickle.UnpicklingError):
-        load_gensim_model(path)
+    evil_pickles = [
+        b"\x80\x02cos\nsystem\nq\x00.",            # GLOBAL os.system
+        b"\x80\x02cbuiltins\neval\nq\x00.",        # whitelisted MODULE is not enough
+        b"\x80\x02cbuiltins\ngetattr\nq\x00.",
+        b"\x80\x02cnumpy\nload\nq\x00.",           # numpy callables beyond ndarray
+    ]
+    for i, evil in enumerate(evil_pickles):
+        path = str(tmp_path / f"evil{i}.model")
+        with open(path, "wb") as f:
+            f.write(evil)
+        with pytest.raises(pickle.UnpicklingError):
+            load_gensim_model(path)

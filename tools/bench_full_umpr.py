@@ -152,11 +152,12 @@ def main():
             ui_exists = masking.exists_mask(batch["ui_counts"].max(),
                                             batch["ui_lengths"].max(),
                                             ui_tok.shape[1], ui_tok.shape[2])
-            rn = review_net(pc["review_net"], emb[u_tok], emb[i_tok],
+            both_emb = emb[jnp.concatenate([u_tok, i_tok], axis=0)]
+            rn = review_net(pc["review_net"], both_emb,
                             batch["u_lengths"], batch["i_lengths"], exists,
                             dims_t.use_pallas, attention_pallas=False)
             c_u, c_i, pp, pn = control_net(
-                pc["control_net"], emb[u_tok], emb[i_tok], emb[ui_tok],
+                pc["control_net"], both_emb, emb[ui_tok],
                 batch["u_lengths"], batch["i_lengths"], batch["ui_lengths"],
                 exists, ui_exists, dims_t.threshold, dims_t.use_pallas)
             return (jnp.sum(rn.astype(jnp.float32) ** 2)

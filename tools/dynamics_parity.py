@@ -111,11 +111,7 @@ model = load_umpr(ref, params0,
 for m in model.modules():
     if isinstance(m, nn.Dropout):
         m.p = 0.0  # see module docstring
-opt = torch.optim.Adam([
-    {"params": [p for n,p in model.named_parameters() if "bias" not in n and p.requires_grad]},
-    {"params": [p for n,p in model.named_parameters() if "bias" in n and p.requires_grad], "weight_decay": 0.0},
-], LR, weight_decay=WD)
-sch = torch.optim.lr_scheduler.ExponentialLR(opt, 0.99)
+opt, sch = ref_oracle.make_reference_optimizer(model, LR, WD, 0.99)
 ref_mse = []
 for epoch in range(EPOCHS):
     model.train()
@@ -124,12 +120,7 @@ for epoch in range(EPOCHS):
         _, loss = model(*targs)
         opt.zero_grad(); loss.backward(); opt.step()
     sch.step()
-    model.eval(); tot, cnt = 0.0, 0
-    with torch.no_grad():
-        for b in loader(pad_to_full=False):
-            pred, _ = model(*batch_to_reference(b))
-            tot += float(((pred - torch.tensor(b["ratings"]))**2).sum()); cnt += len(b["ratings"])
-    ref_mse.append(tot/cnt)
+    ref_mse.append(ref_oracle.reference_dataset_mse(model, loader(pad_to_full=False)))
     print(f"ref  epoch {epoch}: train-set mse {ref_mse[-1]:.4f}", flush=True)
 
 print("epoch  ours-mse  torch-ref-mse")

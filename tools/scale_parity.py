@@ -34,8 +34,6 @@ import argparse
 import json
 import sys
 
-import numpy as np
-
 sys.path.insert(0, ".")  # run from repo root
 
 ap = argparse.ArgumentParser()
@@ -127,32 +125,19 @@ else:
     import copy
 
     import torch
-    from torch import nn
 
     from tests.ref_oracle import (RefConfig, batch_to_reference,
                                   import_reference_model, load_umpr,
-                                  patch_improved_rnn)
+                                  make_reference_optimizer,
+                                  patch_improved_rnn, reference_dataset_mse)
     torch.manual_seed(0)  # inconsequential: all params come from params0
     ref = import_reference_model()
     patch_improved_rnn(ref)
     model = load_umpr(ref, params0, RefConfig(review_net_only=True))
-    opt = torch.optim.Adam([
-        {"params": [p for n, p in model.named_parameters()
-                    if "bias" not in n and p.requires_grad]},
-        {"params": [p for n, p in model.named_parameters()
-                    if "bias" in n and p.requires_grad], "weight_decay": 0.0},
-    ], LR, weight_decay=WD)
-    sch = torch.optim.lr_scheduler.ExponentialLR(opt, cfg.lr_decay)
+    opt, sch = make_reference_optimizer(model, LR, WD, cfg.lr_decay)
 
     def torch_mse(split):
-        model.eval()
-        tot, cnt = 0.0, 0
-        with torch.no_grad():
-            for b in loader(split, pad_to_full=False):
-                pred, _ = model(*batch_to_reference(b))
-                tot += float(((pred - torch.tensor(b["ratings"])) ** 2).sum())
-                cnt += len(b["ratings"])
-        return tot / cnt
+        return reference_dataset_mse(model, loader(split, pad_to_full=False))
 
     best = (float("inf"), -1, None)
     for epoch in range(EPOCHS):

@@ -28,24 +28,36 @@ Supports both layout generations:
 from __future__ import annotations
 
 import importlib
-import io
 import os
 import pickle
 import types
 
 import numpy as np
 
-# Globals allowed to resolve for real during unpickling.  numpy array
-# reconstruction needs numpy internals; everything else a gensim pickle
-# legitimately contains is stdlib containers.  NOTHING else is importable
-# through this loader (pickle's usual arbitrary-code surface is closed).
-_SAFE_MODULE_PREFIXES = (
-    "numpy",
-    "collections",
-    "builtins",
-    "copyreg",
-    "_codecs",
-)
+# Globals allowed to resolve for real during unpickling, by NAME — a
+# module-level whitelist is not enough (builtins.eval, numpy's distutils
+# helpers, and collections factories are all GLOBAL-reachable callables).
+# numpy array reconstruction needs the numpy internals; everything else a
+# gensim pickle legitimately contains is stdlib containers.  NOTHING else
+# resolves through this loader (pickle's arbitrary-code surface is closed).
+_SAFE_GLOBALS = {
+    ("builtins", n) for n in
+    ("set", "frozenset", "bytearray", "complex", "list", "dict", "tuple",
+     "object", "range", "slice")
+} | {
+    ("collections", "OrderedDict"),
+    ("collections", "defaultdict"),
+    ("collections", "Counter"),
+    ("copyreg", "_reconstructor"),
+    ("_codecs", "encode"),
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "_reconstruct"),   # numpy >= 2 module path
+    ("numpy._core.multiarray", "scalar"),
+    ("numpy.random._pickle", "__randomstate_ctor"),  # model.random state
+}
 
 
 class _Stub:
@@ -77,13 +89,13 @@ class _GensimUnpickler(pickle.Unpickler):
                 cls = type(name, (_Stub,), {"__module__": module})
                 self._stub_cache[key] = cls
             return cls
-        if module.split(".")[0] in _SAFE_MODULE_PREFIXES or module.startswith(
-                "numpy."):
+        if (module, name) in _SAFE_GLOBALS:
             mod = importlib.import_module(module)
             return getattr(mod, name)
         raise pickle.UnpicklingError(
             f"gensim model pickle references {module}.{name}; only "
-            f"numpy/stdlib globals are allowed by this loader")
+            f"whitelisted numpy/stdlib-container globals resolve through "
+            f"this loader")
 
 
 def _set_dotted(obj, dotted, value):
@@ -94,8 +106,11 @@ def _set_dotted(obj, dotted, value):
 
 
 def _restore_sidecars(model, path):
-    """gensim stores big arrays as ``<path>.<attr.path>.npy`` (and sparse
-    ones as ``.npz``); walk the directory and graft them back."""
+    """gensim stores big arrays as ``<path>.<attr.path>.npy``; walk the
+    directory and graft them back.  (gensim can also emit scipy-sparse
+    ``.npz`` sidecars — no gensim Word2Vec/KeyedVectors attribute the
+    consumers here read is ever sparse, so those are NOT restored; if one
+    ever holds the vectors, ``extract_keyed_vectors`` raises.)"""
     d, base = os.path.split(path)
     prefix = base + "."
     for fname in sorted(os.listdir(d or ".")):
