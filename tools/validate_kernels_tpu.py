@@ -76,6 +76,50 @@ def validate_gru(N, L=20, E=50, H=64):
     os.environ.pop("UMPR_GRU_PROJ", None)
 
 
+def validate_gru_split(N=2560, S=20, L=20, E=50, H=64):
+    """The production review-net path since round 3: bigru_pallas_split's
+    repack kernels emit BOTH consumer layouts; its VJP combines dys."""
+    import jax
+    import jax.numpy as jnp
+    from umpr_tpu.ops.gru import init_bigru, bigru_scan
+    from umpr_tpu.ops.gru_pallas import bigru_pallas_split
+
+    rng = np.random.default_rng(2)
+    B2 = N // S
+    x = jnp.asarray(rng.standard_normal((N, L, E)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(1, L + 1, size=N).astype(np.int32))
+    params = init_bigru(jax.random.PRNGKey(0), E, H)
+    dead = np.arange(L)[None, :, None] >= np.asarray(lengths)[:, None, None]
+
+    with jax.default_matmul_precision("highest"):
+        y_ref = bigru_scan(params, x, lengths)
+        pos, sent = bigru_pallas_split(params, x, lengths, S)
+
+        def loss_split(p_):
+            a, b = bigru_pallas_split(p_, x, lengths, S)
+            return jnp.sum(jnp.sin(a)) + jnp.sum(jnp.cos(b))
+
+        def loss_scan(p_):
+            y = bigru_scan(p_, x, lengths)
+            return (jnp.sum(jnp.sin(y.reshape(B2, S * L, 2 * H)))
+                    + jnp.sum(jnp.cos(y)))
+
+        gp = jax.grad(loss_split)(params)
+        gs = jax.grad(loss_scan)(params)
+    check("gru split sent values",
+          float(jnp.max(jnp.abs(sent - y_ref))), 1e-5)
+    check("gru split pos values",
+          float(jnp.max(jnp.abs(pos - y_ref.reshape(B2, S * L, 2 * H)))), 1e-5)
+    rel = max(
+        float(np.linalg.norm(np.asarray(a, np.float32).ravel()
+                             - np.asarray(b, np.float32).ravel())
+              / (np.linalg.norm(np.asarray(b, np.float32)) + 1e-6))
+        for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gs)))
+    check("gru split grads (l2-rel)", rel, 1e-3)
+    check("gru split masked-zero",
+          float(np.abs(np.asarray(sent, np.float32) * dead).max()), 0.0)
+
+
 def validate_attention(B=64, P=400, D=128):
     import jax
     import jax.numpy as jnp
@@ -108,6 +152,7 @@ def main():
         print("WARNING: not on TPU; kernels will run interpreted "
               "(CI already covers that mode)")
     validate_gru(args.N)
+    validate_gru_split(args.N)
     validate_attention()
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")
