@@ -96,6 +96,55 @@ def bench_tpu(batch_np, B=B, compute_dtype="float32", steps=STEPS,
     return best
 
 
+def bench_tpu_chunked(batch_np, B=B, k=10, steps=STEPS,
+                      eval_batches=EVAL_BATCHES, rounds=3):
+    """The headline cycle with --steps_per_dispatch k: k train steps per
+    device dispatch via make_multi_train_step's on-device lax.scan --
+    numerically IDENTICAL to k single dispatches (CI-tested bit-exact,
+    tests/test_e2e_train.py), but per-dispatch host latency amortizes k-fold.
+    At B=64 the single-step path is dispatch-bound on this relay-attached
+    host, so this is the framework's realistic fast configuration."""
+    import jax
+    import jax.numpy as jnp
+    from umpr_tpu.models.umpr import ModelDims, init_umpr
+    from umpr_tpu.train.optim import make_optimizer, split_frozen
+    from umpr_tpu.train.step import make_multi_train_step, make_eval_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    dims = ModelDims(review_net_only=True, use_pallas=on_tpu)
+    rng = np.random.default_rng(0)
+    params = init_umpr(jax.random.PRNGKey(0), dims,
+                       rng.standard_normal((VOCAB, EMB)).astype(np.float32))
+    trainable, frozen = split_frozen(params)
+    tx = make_optimizer(1e-3)
+    opt_state = tx.init(trainable)
+    mstep = make_multi_train_step(dims, tx)
+    eval_step = make_eval_step(dims)
+    batches = {k_: jnp.asarray(np.broadcast_to(v, (k,) + v.shape).copy())
+               for k_, v in batch_np.items()}
+    rngs = jax.random.split(jax.random.PRNGKey(0), k)
+    batch1 = {k_: jnp.asarray(v) for k_, v in batch_np.items()}
+
+    trainable, opt_state, loss, _ = mstep(trainable, frozen, opt_state,
+                                          batches, 1e-6, rngs)
+    float(loss)
+    sq, n = eval_step(trainable, frozen, batch1)
+    float(sq)
+
+    best = 0.0
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(steps // k):
+            trainable, opt_state, loss, _ = mstep(trainable, frozen,
+                                                  opt_state, batches, 1e-6, rngs)
+        for _ in range(eval_batches):
+            sq, n = eval_step(trainable, frozen, batch1)
+        float(loss) + float(sq)
+        samples = B * ((steps // k) * k + eval_batches)
+        best = max(best, samples / (time.perf_counter() - t0))
+    return best
+
+
 FULL_B = 64         # flagship config: reference batch size, 224px photos
 FULL_IMG = 224
 V5E_BF16_PEAK = 197e12
@@ -337,8 +386,15 @@ def main():
     batch_np = make_batch(rng)
     tpu_sps = bench_tpu(batch_np, rounds=4)
 
-    review_tp = serving = None
+    review_tp = serving = chunked = None
     if os.environ.get("UMPR_BENCH_SKIP_FULL") != "1":
+        try:
+            ck = bench_tpu_chunked(batch_np)
+            chunked = {"batch": B, "steps_per_dispatch": 10,
+                       "samples_per_sec": round(ck, 1)}
+        except Exception as e:
+            print(f"chunked-dispatch bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
         try:
             tp_sps = bench_tpu(make_batch(np.random.default_rng(42), REVIEW_TP_B),
                                B=REVIEW_TP_B, compute_dtype="bfloat16",
@@ -399,6 +455,7 @@ def main():
         "unit": "samples/sec",
         "vs_baseline": round(tpu_sps / cpu_sps, 2) if cpu_sps == cpu_sps else None,
         "review_throughput_mode": review_tp,
+        "review_chunked_dispatch": chunked,
         "serving_mode": serving,
         "full_umpr": full,
         "full_umpr_throughput_mode": full_b128,
