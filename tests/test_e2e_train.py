@@ -283,6 +283,71 @@ def test_multi_step_dispatch_equals_single(corpus_dir, tmp_path):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_chunked_eval_matches_single(corpus_dir):
+    """--steps_per_dispatch k > 1 routes evaluation through the on-device
+    multi-eval scan (k batches per dispatch, chunk + remainder); the MSE
+    must equal the per-batch path exactly (same per-batch values, same
+    host summation order)."""
+    def make(k, eval_every):
+        cfg = Config(argv=["--device", "cpu", "--review_net_only", "True",
+                           "--batch_size", "2", "--train_epochs", "1",
+                           "--eval_every", str(eval_every),
+                           "--min_sent_count", "1", "--seed", "2",
+                           "--cache_dataset", "False", "--multi_gpu", "False",
+                           "--steps_per_dispatch", str(k)])
+        logger = get_logger(logger_name=f"ce-{k}")
+        w2v = Word2vec(str(corpus_dir / "glove.txt"))
+        ds = build_dataset(str(corpus_dir / "train.csv"),
+                           str(corpus_dir / "photos.json"),
+                           str(corpus_dir / "photos"), w2v, cfg)
+        t = Trainer(cfg, logger, w2v)
+        return t, ds
+
+    t1, ds = make(1, 8)
+    t3, _ = make(3, 9)
+    assert len(ds) >= 2 * 3 + 1, "need a full chunk plus a remainder"
+    m1 = t1._evaluate(t1._loader(ds))
+    m3 = t3._evaluate(t3._loader(ds))
+    assert np.isfinite(m1)
+    np.testing.assert_allclose(m3, m1, rtol=0, atol=0)
+
+
+def test_serve_chunked_dispatch_same_predictions(corpus_dir, tmp_path):
+    """serve with --steps_per_dispatch 4 (scan-batched predict) must emit
+    the same CSV as the single-dispatch path."""
+    import pandas as pd
+    from umpr_tpu import serve
+
+    cfg_args = ["--device", "cpu", "--review_net_only", "True",
+                "--batch_size", "4", "--train_epochs", "1",
+                "--eval_every", "4", "--learning_rate", "0.01",
+                "--min_sent_count", "1", "--seed", "2",
+                "--cache_dataset", "False", "--multi_gpu", "False"]
+    cfg = Config(argv=cfg_args)
+    logger = get_logger(logger_name="serve-chunk")
+    w2v = Word2vec(str(corpus_dir / "glove.txt"))
+    mk = lambda split: build_dataset(str(corpus_dir / f"{split}.csv"),
+                                     str(corpus_dir / "photos.json"),
+                                     str(corpus_dir / "photos"), w2v, cfg)
+    model_dir = str(tmp_path / "m")
+    Trainer(cfg, logger, w2v).fit(mk("train"), mk("valid"), model_dir)
+
+    pairs_path = str(tmp_path / "pairs.csv")
+    pd.read_csv(corpus_dir / "train.csv").head(30).to_csv(pairs_path,
+                                                          index=False)
+    outs = {}
+    for k in (1, 4):
+        out_path = str(tmp_path / f"preds_{k}.csv")
+        serve.main(["--input", pairs_path, "--output", out_path,
+                    "--data_dir", str(corpus_dir),
+                    "--word2vec_file", str(corpus_dir / "glove.txt"),
+                    "--model_path", model_dir,
+                    "--steps_per_dispatch", str(k)] + cfg_args)
+        outs[k] = pd.read_csv(out_path)
+    assert outs[1]["prediction"].notna().sum() >= 4
+    pd.testing.assert_frame_equal(outs[1], outs[4])
+
+
 def test_serve_cli_end_to_end(corpus_dir, tmp_path):
     """umpr_tpu.serve CLI: train a tiny model, score a rating-less pairs
     CSV, check the output mapping (scored + unscorable rows)."""

@@ -76,6 +76,47 @@ class Predictor:
             return pred
 
         self._predict = _predict
+        # --steps_per_dispatch k > 1: k batches per device call via an
+        # on-device scan.  Serving is dispatch-bound on remote-attached
+        # TPUs exactly like training (see train/step.make_multi_eval_step);
+        # predictions are identical to k single dispatches.
+        self._k = max(1, getattr(config, "steps_per_dispatch", 1))
+        if self._k > 1:
+            @jax.jit
+            def _predict_k(params, batches):
+                def body(_, b):
+                    pred, _, _ = umpr_forward(params, b, dims, train=False)
+                    return None, pred
+
+                _, preds = jax.lax.scan(body, None, batches)
+                return preds  # (k, B)
+
+            self._predict_k = _predict_k
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            # stacked chunks are (k, B, ...): batch axis is axis 1
+            self._dp_stacked = NamedSharding(self.mesh, P(None, "dp"))
+
+    def _chunk_stream(self, loader):
+        """(device_payload, [host sample masks], chunked?) triples: full
+        chunks of k batches stacked on a leading axis, remainders single."""
+        from umpr_tpu.data.loader import prefetch_iter
+
+        def gen():
+            buf = []
+            for hb in iter(loader):
+                buf.append(hb)
+                if len(buf) == self._k:
+                    stacked = {key: np.stack([b[key] for b in buf])
+                               for key in buf[0]}
+                    masks = [b["sample_mask"] > 0 for b in buf]
+                    yield (jax.device_put(stacked, self._dp_stacked),
+                           masks, True)
+                    buf = []
+            for hb in buf:
+                yield (jax.device_put(hb, self.dp), [hb["sample_mask"] > 0],
+                       False)
+
+        return prefetch_iter(gen(), depth=self.config.prefetch_depth)
 
     def predict_dataset(self, dataset):
         """-> (predictions (N,), source_rows (N,)) over retained samples."""
@@ -85,11 +126,22 @@ class Predictor:
                              resize=(cfg.photo_size, cfg.photo_size),
                              workers=cfg.data_workers,
                              photo_cache=self._photo_cache)
+        outs = []  # (device preds, [host masks]); readbacks deferred past
+        #            the last dispatch so nothing blocks the device queue
+        if self._k > 1:
+            for dev, masks, chunked in self._chunk_stream(loader):
+                fn = self._predict_k if chunked else self._predict
+                outs.append((fn(self.params, dev), masks))
+        else:
+            for batch in prefetch_to_device(iter(loader), self.dp,
+                                            depth=cfg.prefetch_depth):
+                mask = np.asarray(batch["sample_mask"]) > 0
+                outs.append((self._predict(self.params, batch), [mask]))
         preds = []
-        for batch in prefetch_to_device(iter(loader), self.dp,
-                                        depth=self.config.prefetch_depth):
-            mask = np.asarray(batch["sample_mask"]) > 0
-            preds.append(np.asarray(self._predict(self.params, batch))[mask])
+        for dev, masks in outs:
+            arr = np.asarray(dev)
+            for row, mask in zip(arr if arr.ndim == 2 else arr[None], masks):
+                preds.append(row[mask])
         out = np.concatenate(preds) if preds else np.zeros(0, np.float32)
         return out, np.asarray(dataset.source_rows)
 

@@ -164,6 +164,33 @@ def make_eval_step(dims):
     return jax.jit(eval_step)
 
 
+def make_multi_eval_step(dims):
+    """K eval batches per device dispatch: batches stacked on a leading
+    axis, lax.scan applies them sequentially on-device, per-batch
+    (sq_err, n) pairs come back as (k,) vectors so callers keep the
+    reference's per-batch host summation order (src/evaluate.py:6-14).
+
+    The eval/serving path is dispatch-bound on remote-attached TPUs for
+    the same reason training is (see make_multi_train_step): per-call
+    latency adds serially to every batch.  Unlike training there is no
+    carried state, but one dispatch per k batches amortizes the latency
+    identically."""
+
+    def multi_eval(trainable, frozen, batches):
+        params = merge_params(trainable, frozen)
+
+        def body(_, batch):
+            pred, _, _ = umpr_forward(params, batch, dims, train=False)
+            mask = batch["sample_mask"]
+            return None, (jnp.sum(mask * (pred - batch["ratings"]) ** 2),
+                          jnp.sum(mask))
+
+        _, (sqs, ns) = jax.lax.scan(body, None, batches)
+        return sqs, ns
+
+    return jax.jit(multi_eval)
+
+
 def evaluate_mse(eval_step, trainable, frozen, batches):
     """Dataset MSE = sum of squared errors / sample count, the reference's
     evaluate_mse semantics (src/evaluate.py:6-14)."""

@@ -26,7 +26,7 @@ from umpr_tpu.train.optim import (make_optimizer, split_frozen, merge_params,
                                   lr_at_epoch)
 from umpr_tpu.train.step import (make_train_step, make_multi_train_step,
                                  make_train_step_accum, make_eval_step,
-                                 evaluate_mse)
+                                 make_multi_eval_step, evaluate_mse)
 
 
 class Trainer:
@@ -105,6 +105,7 @@ class Trainer:
                 "steps_per_dispatch must divide eval_every (keeps the "
                 "per-500-batch eval cadence exact)")
             self.multi_step = make_multi_train_step(self.dims, self.tx)
+            self.multi_eval_step = make_multi_eval_step(self.dims)
             from jax.sharding import NamedSharding, PartitionSpec as P
             # stacked chunks are (k, B, ...): batch axis is axis 1
             self.dp_stacked = NamedSharding(self.mesh, P(None, "dp"))
@@ -214,12 +215,12 @@ class Trainer:
         return prefetch_to_device(iter(loader), self.dp,
                                   depth=self.config.prefetch_depth)
 
-    def _train_stream(self, loader):
+    def _dispatch_stream(self, loader):
         """Yields ("single", device_batch) or ("chunk", (stacked, k)) items;
         chunks are k host batches stacked on a new leading axis and shipped
-        in one transfer for the multi-step dispatch path.  Remainders that
-        cannot fill a chunk run as single steps (a dead batch inside a scan
-        would still apply weight decay)."""
+        in one transfer for the multi-step dispatch paths (train AND eval).
+        Remainders that cannot fill a chunk run as single steps (a dead
+        batch inside a train scan would still apply weight decay)."""
         k = self.k_dispatch
         if k == 1:
             for b in self._device_batches(loader):
@@ -252,9 +253,32 @@ class Trainer:
                     disable=not sys.stderr.isatty())
 
     def _evaluate(self, loader):
-        return evaluate_mse(self.eval_step, self.trainable, self.frozen,
-                            self._progress(self._device_batches(loader),
-                                           "Evaluate", len(loader)))
+        if self.k_dispatch == 1:
+            return evaluate_mse(self.eval_step, self.trainable, self.frozen,
+                                self._progress(self._device_batches(loader),
+                                               "Evaluate", len(loader)))
+        # chunked eval dispatch: k batches per device call; every float()
+        # readback is deferred past the last dispatch so nothing blocks the
+        # queue, then the per-batch (sq, n) pairs are summed on host in
+        # batch order -- the same values in the same order as the unchunked
+        # reference semantics (evaluate_mse / src/evaluate.py:6-14)
+        parts = []
+        for kind, payload in self._progress(self._dispatch_stream(loader),
+                                            "Evaluate", None):
+            if kind == "chunk":
+                dev, _k = payload
+                sqs, ns = self.multi_eval_step(self.trainable, self.frozen,
+                                               dev)
+            else:
+                sqs, ns = self.eval_step(self.trainable, self.frozen,
+                                         payload)
+            parts.append((sqs, ns))
+        total, count = 0.0, 0.0
+        for sqs, ns in parts:
+            for sq, n in zip(np.asarray(sqs).ravel(), np.asarray(ns).ravel()):
+                total += float(sq)
+                count += float(n)
+        return total / count if count else float("nan")
 
     def _metric(self, event, **kv):
         """Append one JSON metrics line (--metrics_jsonl; primary only).
@@ -373,7 +397,7 @@ class Trainer:
             n_items = (n_batches // self.k_dispatch
                        + n_batches % self.k_dispatch)
             stop_now = False
-            for item in self._progress(self._train_stream(train_loader),
+            for item in self._progress(self._dispatch_stream(train_loader),
                                        f"Training epoch {epoch}", n_items):
                 if (cfg.profile_dir and not profiled and not started_profile
                         and self.batch_counter >= 2):
