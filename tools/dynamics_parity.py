@@ -30,17 +30,6 @@ predictions are alive (seed 2 on the round-1 corpora).
 """
 import argparse, ast, sys, numpy as np
 sys.path.insert(0, ".")  # run from repo root
-import jax; jax.config.update("jax_platforms", "cpu")
-import jax.numpy as jnp, torch
-from torch import nn
-from umpr_tpu.config import Config
-from umpr_tpu.text.vocab import Word2vec
-from umpr_tpu.data.dataset import build_dataset
-from umpr_tpu.data.loader import BatchLoader
-from umpr_tpu.models.umpr import ModelDims, init_umpr
-from umpr_tpu.train.optim import make_optimizer, split_frozen, lr_at_epoch
-from umpr_tpu.train.step import make_train_step, make_eval_step, evaluate_mse
-from tests.ref_oracle import import_reference_model, patch_improved_rnn, load_umpr, batch_to_reference, RefConfig
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--data_dir", required=True)
@@ -55,7 +44,35 @@ ap.add_argument("--full", action="store_true",
                      "VisualNet + loss_v)")
 ap.add_argument("--views", default="['food']")
 ap.add_argument("--photo_size", type=int, default=64)
+ap.add_argument("--tpu", action="store_true",
+                help="run OUR side on the default jax platform (the TPU "
+                     "chip) at jax_default_matmul_precision=highest "
+                     "instead of pinning CPU -- the scale_parity.py "
+                     "arrangement; the torch side stays on CPU either way. "
+                     "Full-UMPR trajectories on 1 CPU core take ~10 min/"
+                     "epoch; the chip makes the ours side minutes total.")
 args = ap.parse_args()
+
+import jax
+
+if args.tpu:
+    # f32 matmuls on TPU default to bf16 operands; 'highest' is the
+    # exact-parity configuration (PARITY.md "TPU matmul precision")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    from umpr_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+else:
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp, torch
+from torch import nn
+from umpr_tpu.config import Config
+from umpr_tpu.text.vocab import Word2vec
+from umpr_tpu.data.dataset import build_dataset
+from umpr_tpu.data.loader import BatchLoader
+from umpr_tpu.models.umpr import ModelDims, init_umpr
+from umpr_tpu.train.optim import make_optimizer, split_frozen, lr_at_epoch
+from umpr_tpu.train.step import make_train_step, make_eval_step, evaluate_mse
+from tests.ref_oracle import import_reference_model, patch_improved_rnn, load_umpr, batch_to_reference, RefConfig
 
 views = ast.literal_eval(args.views)
 cfg_args = ["--min_sent_count", str(args.min_sent_count),
