@@ -212,3 +212,31 @@ def test_convert_vgg16_roundtrip(tmp_path):
         theirs = model(torch.tensor(img.transpose(0, 3, 1, 2)))
     np.testing.assert_allclose(np.asarray(ours), theirs.numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_resolve_photos_nan_item_ids(tmp_path):
+    """Rows with NaN/missing itemID must be DROPPED, exactly like an id with
+    no manifest entry (reference dataset.py:110-113) — pd.factorize encodes
+    them as code -1, which must not wrap around onto resolved[-1]."""
+    import json
+    from umpr_tpu.data.dataset import _resolve_photos
+
+    pj = tmp_path / "photos.json"
+    with open(pj, "w") as f:
+        f.write(json.dumps({"business_id": "B1", "photo_id": "p1"}) + "\n")
+
+    item_ids = ["B1", float("nan"), "B1", None, "B2"]
+    retain = np.ones(5, dtype=bool)
+    paths = _resolve_photos(str(pj), str(tmp_path), item_ids, retain,
+                            views=["unknown"], photo_count=1)
+    assert retain.tolist() == [True, False, True, False, False]
+    assert paths[0] is not None and paths[2] == paths[0]
+    assert paths[1] is None and paths[3] is None and paths[4] is None
+    assert "p1.jpg" in paths[0][0][0]
+
+    # all-missing ids: no unique entries at all — must drop all, not crash
+    retain2 = np.ones(2, dtype=bool)
+    paths2 = _resolve_photos(str(pj), str(tmp_path), [None, float("nan")],
+                             retain2, views=["unknown"], photo_count=1)
+    assert retain2.tolist() == [False, False]
+    assert paths2 == [None, None]

@@ -68,6 +68,19 @@ def realistic(args):
     nprng = np.random.default_rng(args.seed)
     U, I, N = args.users, args.items, args.n_reviews
 
+    # each (user, item) pair is written at most once; the sampler would
+    # otherwise spin forever once every pair has been seen
+    if N > U * I:
+        raise SystemExit(
+            f"--realistic needs n_reviews <= users*items unique pairs; got "
+            f"{N} > {U}*{I}={U * I}. Raise --users/--items (the recorded "
+            f"scale-parity run used --users 5541 --items 3568).")
+    if args.vocab_size < 350:
+        raise SystemExit(
+            f"--realistic reserves vocab[:300] for sentiment lexicons and "
+            f"draws 30-word topics from the rest; --vocab_size {args.vocab_size} "
+            f"leaves too few content words (need >= 350).")
+
     vocab = _make_vocab(nprng, args.vocab_size, STOP_WORDS)
     pos_lex = vocab[:150]
     neg_lex = vocab[150:300]

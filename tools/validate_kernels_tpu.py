@@ -85,6 +85,7 @@ def validate_gru_split(N=2560, S=20, L=20, E=50, H=64):
     from umpr_tpu.ops.gru_pallas import bigru_pallas_split
 
     rng = np.random.default_rng(2)
+    N = max(S, (N // S) * S)  # split layout views (N, L, .) as (N/S, S*L, .)
     B2 = N // S
     x = jnp.asarray(rng.standard_normal((N, L, E)).astype(np.float32))
     lengths = jnp.asarray(rng.integers(1, L + 1, size=N).astype(np.int32))

@@ -180,10 +180,16 @@ def _resolve_photos(photo_json, photo_dir, item_ids, retain, views, photo_count)
     codes, uniques = pd.factorize(np.asarray(item_ids, dtype=object))
     resolved = [resolve(bid) for bid in uniques]
     entry = np.asarray(retain, dtype=bool)  # retain snapshot at entry
-    paths = [resolved[c] if r else None
+    # factorize encodes NaN/missing ids as -1 (no unique entry): such rows
+    # have no photos and must be dropped, never wrapped onto resolved[-1]
+    paths = [resolved[c] if (r and c >= 0) else None
              for c, r in zip(codes.tolist(), entry.tolist())]
-    bad = entry & ~np.asarray([r is not None for r in resolved],
-                              dtype=bool)[codes] if len(codes) else entry
+    row_ok = np.zeros(len(codes), dtype=bool)
+    if len(codes):
+        valid = codes >= 0
+        ok = np.asarray([r is not None for r in resolved], dtype=bool)
+        row_ok[valid] = ok[codes[valid]] if len(resolved) else False
+    bad = entry & ~row_ok
     if isinstance(retain, np.ndarray):
         retain[bad] = 0
     else:

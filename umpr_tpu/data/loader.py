@@ -102,6 +102,30 @@ class BatchLoader:
             yield self._make_batch(order[start:start + self.batch_size])
 
 
+def chunk_stream(loader, k, put_chunk, put_single, depth=2):
+    """Stack runs of `k` host batches on a NEW leading axis and ship each run
+    to the device in one transfer (the multi-step dispatch protocol shared by
+    the trainer's train/eval paths and the serving Predictor — one place so
+    the stack/ship/remainder semantics cannot fork).  Remainder batches that
+    cannot fill a chunk ship individually.  Yields prefetched
+    (device_payload, [host batches inside the payload], chunked?) triples;
+    `put_chunk`/`put_single` provide the transfer (device_put vs multihost
+    put_global)."""
+    def gen():
+        buf = []
+        for hb in iter(loader):
+            buf.append(hb)
+            if len(buf) == k:
+                stacked = {key: np.stack([b[key] for b in buf])
+                           for key in buf[0]}
+                yield (put_chunk(stacked), buf, True)
+                buf = []
+        for hb in buf:
+            yield (put_single(hb), [hb], False)
+
+    return prefetch_iter(gen(), depth=depth)
+
+
 def prefetch_iter(iterator, depth=2):
     """Run `iterator` in a background thread, `depth` items ahead.
 

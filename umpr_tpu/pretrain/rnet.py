@@ -76,8 +76,11 @@ def mine_pairs(data, probs, rng, sample_k=20, hi=0.8, lo=0.5,
         blk = slice(lo_i, min(lo_i + block_size, n))
         rows = np.arange(blk.start, blk.stop)
         cb = cand[blk]                                   # (B, k)
+        # accumulate in the probs dtype (promoted to at least f32), exactly
+        # like the loop's np.dot -- forcing f32 on f64 inputs could flip
+        # strict > / < comparisons near the hi/lo thresholds
         cos = np.einsum("bkd,bd->bk", probs[cb], probs[blk],
-                        dtype=np.float32)
+                        dtype=np.result_type(probs.dtype, np.float32))
         cos = cos / (norms[blk][:, None] * norms[cb] + 1e-12)
         is_self = cb == rows[:, None]
         # running strict max/min over the candidate scan; self rows are

@@ -97,26 +97,17 @@ class Predictor:
             self._dp_stacked = NamedSharding(self.mesh, P(None, "dp"))
 
     def _chunk_stream(self, loader):
-        """(device_payload, [host sample masks], chunked?) triples: full
-        chunks of k batches stacked on a leading axis, remainders single."""
-        from umpr_tpu.data.loader import prefetch_iter
+        """(device_payload, [host sample masks], chunked?) triples — the
+        trainer's chunked-dispatch protocol (data.loader.chunk_stream)
+        driven with plain device_put (serving is single-process)."""
+        from umpr_tpu.data.loader import chunk_stream
 
-        def gen():
-            buf = []
-            for hb in iter(loader):
-                buf.append(hb)
-                if len(buf) == self._k:
-                    stacked = {key: np.stack([b[key] for b in buf])
-                               for key in buf[0]}
-                    masks = [b["sample_mask"] > 0 for b in buf]
-                    yield (jax.device_put(stacked, self._dp_stacked),
-                           masks, True)
-                    buf = []
-            for hb in buf:
-                yield (jax.device_put(hb, self.dp), [hb["sample_mask"] > 0],
-                       False)
-
-        return prefetch_iter(gen(), depth=self.config.prefetch_depth)
+        for dev, hbs, chunked in chunk_stream(
+                loader, self._k,
+                put_chunk=lambda s: jax.device_put(s, self._dp_stacked),
+                put_single=lambda b: jax.device_put(b, self.dp),
+                depth=self.config.prefetch_depth):
+            yield dev, [b["sample_mask"] > 0 for b in hbs], chunked
 
     def predict_dataset(self, dataset):
         """-> (predictions (N,), source_rows (N,)) over retained samples."""

@@ -57,6 +57,7 @@ _SAFE_GLOBALS = {
     ("numpy._core.multiarray", "_reconstruct"),   # numpy >= 2 module path
     ("numpy._core.multiarray", "scalar"),
     ("numpy.random._pickle", "__randomstate_ctor"),  # model.random state
+    ("numpy.random", "__RandomState_ctor"),  # pre-numpy-1.17 pickles
 }
 
 

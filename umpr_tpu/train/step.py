@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from umpr_tpu.models.umpr import umpr_forward
@@ -191,14 +192,21 @@ def make_multi_eval_step(dims):
     return jax.jit(multi_eval)
 
 
-def evaluate_mse(eval_step, trainable, frozen, batches):
-    """Dataset MSE = sum of squared errors / sample count, the reference's
-    evaluate_mse semantics (src/evaluate.py:6-14)."""
+def mse_from_parts(parts):
+    """Reduce (sq_sum, n) pairs — scalars or per-chunk arrays — to dataset
+    MSE = sum of squared errors / sample count, the reference's evaluate_mse
+    semantics (src/evaluate.py:6-14).  The single host-side home for this
+    reduction: evaluate_mse and the trainer's chunked-dispatch eval both
+    route through it, so the semantics (incl. nan on an empty split —
+    surface it, don't report 0) cannot fork between configurations."""
     total, count = 0.0, 0.0
-    for batch in batches:
-        sq, n = eval_step(trainable, frozen, batch)
-        total += float(sq)
-        count += float(n)
-    if count == 0:
-        return float("nan")  # empty dataset -- surface it, don't report 0
-    return total / count
+    for sq, n in parts:
+        for s, c in zip(np.asarray(sq).ravel(), np.asarray(n).ravel()):
+            total += float(s)
+            count += float(c)
+    return total / count if count else float("nan")
+
+
+def evaluate_mse(eval_step, trainable, frozen, batches):
+    """Dataset MSE over a device-batch stream (one eval_step per batch)."""
+    return mse_from_parts(eval_step(trainable, frozen, b) for b in batches)

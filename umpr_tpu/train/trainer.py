@@ -26,7 +26,8 @@ from umpr_tpu.train.optim import (make_optimizer, split_frozen, merge_params,
                                   lr_at_epoch)
 from umpr_tpu.train.step import (make_train_step, make_multi_train_step,
                                  make_train_step_accum, make_eval_step,
-                                 make_multi_eval_step, evaluate_mse)
+                                 make_multi_eval_step, evaluate_mse,
+                                 mse_from_parts)
 
 
 class Trainer:
@@ -227,24 +228,16 @@ class Trainer:
                 yield ("single", b)
             return
 
-        from umpr_tpu.data.loader import prefetch_iter
+        from umpr_tpu.data.loader import chunk_stream
 
-        def gen():
-            buf = []
-            for hb in iter(loader):
-                buf.append(hb)
-                if len(buf) == k:
-                    stacked = {key: np.stack([b[key] for b in buf])
-                               for key in buf[0]}
-                    # stacked chunks are (k, B, ...): batch axis is axis 1
-                    dev = multihost.put_global(stacked, self.dp_stacked,
-                                               batch_axis=1)
-                    yield ("chunk", (dev, k))
-                    buf = []
-            for hb in buf:
-                yield ("single", multihost.put_global(hb, self.dp))
-
-        yield from prefetch_iter(gen(), depth=self.config.prefetch_depth)
+        # stacked chunks are (k, B, ...): batch axis is axis 1
+        for dev, _hbs, chunked in chunk_stream(
+                loader, k,
+                put_chunk=lambda s: multihost.put_global(
+                    s, self.dp_stacked, batch_axis=1),
+                put_single=lambda b: multihost.put_global(b, self.dp),
+                depth=self.config.prefetch_depth):
+            yield ("chunk", (dev, k)) if chunked else ("single", dev)
 
     def _progress(self, it, desc, total):
         """tqdm progress like the reference (main.py:31, evaluate.py:10);
@@ -273,12 +266,7 @@ class Trainer:
                 sqs, ns = self.eval_step(self.trainable, self.frozen,
                                          payload)
             parts.append((sqs, ns))
-        total, count = 0.0, 0.0
-        for sqs, ns in parts:
-            for sq, n in zip(np.asarray(sqs).ravel(), np.asarray(ns).ravel()):
-                total += float(sq)
-                count += float(n)
-        return total / count if count else float("nan")
+        return mse_from_parts(parts)
 
     def _metric(self, event, **kv):
         """Append one JSON metrics line (--metrics_jsonl; primary only).
