@@ -95,6 +95,14 @@ def realistic(args):
     b_u = nprng.normal(0.0, 0.55, U)
     b_i = nprng.normal(0.0, 0.55, I)
 
+    def write_review(f, u, it, text, stars):
+        if args.style == "yelp":
+            f.write(json.dumps({"user_id": f"U{u}", "business_id": f"I{it}",
+                                "text": text, "stars": stars}) + "\n")
+        else:
+            f.write(repr({"reviewerID": f"U{u}", "asin": f"I{it}",
+                          "reviewText": text, "overall": stars}) + "\n")
+
     seen_pairs = set()
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "reviews.json"), "w") as f:
@@ -130,14 +138,47 @@ def realistic(args):
                     nprng.shuffle(words)
                     sents.append(" ".join(words))
                 text = ". ".join(sents) + "."
-                f.write(repr({"reviewerID": f"U{u}", "asin": f"I{it}",
-                              "reviewText": text, "overall": stars}) + "\n")
+                write_review(f, u, it, text, stars)
                 written += 1
 
-    with open(os.path.join(args.out, "meta.json"), "w") as f:
-        for it in range(I):
-            f.write(repr({"asin": f"I{it}",
-                          "imUrl": f"http://x/{it}.jpg"}) + "\n")
+    if args.style == "yelp":
+        # yelp ships a view-labeled photos.json directly (the reference's
+        # yelp photos dataset manifest); 2 photos per view per item
+        with open(os.path.join(args.out, "photos.json"), "w") as f:
+            for it in range(I):
+                for v in YELP_VIEWS:
+                    for k in range(2):
+                        f.write(json.dumps({"business_id": f"I{it}",
+                                            "photo_id": f"I{it}_{v}_{k}",
+                                            "label": v}) + "\n")
+        if args.photos:
+            import cv2
+            pdir = os.path.join(args.out, "photos")
+            os.makedirs(pdir, exist_ok=True)
+            for it in range(I):
+                # per-item base color carries the item's latent bias so the
+                # visual net has real (if weak) signal, plus per-photo noise
+                base = np.clip(128 + 80 * b_i[it] / 0.55, 20, 235)
+                for v in YELP_VIEWS:
+                    for k in range(2):
+                        img = np.clip(base + nprng.normal(0, 40, (64, 80, 3)),
+                                      0, 255).astype(np.uint8)
+                        cv2.imwrite(os.path.join(pdir, f"I{it}_{v}_{k}.jpg"),
+                                    img)
+    else:
+        with open(os.path.join(args.out, "meta.json"), "w") as f:
+            for it in range(I):
+                f.write(repr({"asin": f"I{it}",
+                              "imUrl": f"http://x/{it}.jpg"}) + "\n")
+
+    if args.write_glove:
+        # random frozen embeddings are sufficient for parity runs (both
+        # frameworks share the table); word2vec_train is the trained-
+        # embedding path used by the 65k UMPR-R run
+        with open(os.path.join(args.out, "glove.txt"), "w") as f:
+            for w in vocab:
+                vec = nprng.standard_normal(args.emb_dim)
+                f.write(w + " " + " ".join(f"{x:.4f}" for x in vec) + "\n")
 
     print(f"Wrote realistic corpus: {N} reviews, {U} users, {I} items, "
           f"vocab {len(vocab)} to {args.out}")
@@ -161,6 +202,9 @@ def main(argv=None):
                          "train embeddings with umpr_tpu.pretrain.word2vec_train)")
     ap.add_argument("--n_reviews", type=int, default=65000)
     ap.add_argument("--vocab_size", type=int, default=5000)
+    ap.add_argument("--write_glove", action="store_true",
+                    help="with --realistic: also write glove.txt with "
+                         "random emb_dim-d vectors for the whole vocab")
     args = ap.parse_args(argv)
 
     if args.realistic:

@@ -11,7 +11,16 @@ corpus under MATCHED conditions across frameworks:
   seed=epoch) on both sides);
 - per-EPOCH valid-MSE checkpoints (the 500-batch cadence of the production
   trainers is per-step noise, not a protocol difference);
-- no dropout anywhere (the UMPR-R path has none in either framework).
+- no dropout anywhere (the UMPR-R path has none in either framework;
+  in --full mode the VGG classifier's Dropout is disabled on BOTH sides
+  -- unrelated RNG streams would otherwise turn a numerics comparison
+  into noise, the tools/dynamics_parity.py convention).
+
+``--full`` runs the complete multi-modal UMPR (ControlNet + VisualNet +
+loss_v -- reference src/model.py:246-278) instead of UMPR-R: the
+0.925538-row analogue of readme.md:100.  Needs a corpus with decodable
+photos; photo_size < 224 is exact on both sides (the VGG adaptive pool
+absorbs it) and keeps the torch oracle tractable on CPU.
 
 The two sides run as separate processes because the torch-CPU side takes
 hours on this host while ours takes minutes on one TPU chip:
@@ -46,6 +55,11 @@ ap.add_argument("--batch", type=int, default=64)
 ap.add_argument("--lr", type=float, default=0.003)
 ap.add_argument("--seed", type=int, default=5)
 ap.add_argument("--min_sent_count", type=int, default=5)
+ap.add_argument("--full", action="store_true",
+                help="full multi-modal UMPR (photos + ControlNet + "
+                     "VisualNet + loss_v) instead of UMPR-R")
+ap.add_argument("--views", default="['food','inside']")
+ap.add_argument("--photo_size", type=int, default=32)
 ap.add_argument("--cpu", action="store_true",
                 help="force jax onto CPU even for --side ours")
 args = ap.parse_args()
@@ -58,19 +72,26 @@ if args.side == "ref" or args.cpu:
     # across platforms, so params0 still matches the ours-side run
     jax.config.update("jax_platforms", "cpu")
 
+import ast
+
 import jax.numpy as jnp
 
 from umpr_tpu.config import Config
 from umpr_tpu.data.dataset import build_dataset
+from umpr_tpu.data.images import PhotoCache
 from umpr_tpu.data.loader import BatchLoader
 from umpr_tpu.models.umpr import ModelDims, init_umpr
 from umpr_tpu.text.vocab import Word2vec
 from umpr_tpu.train.optim import lr_at_epoch, make_optimizer, split_frozen
 from umpr_tpu.train.step import evaluate_mse, make_eval_step, make_train_step
 
-cfg = Config(argv=["--review_net_only", "True",
-                   "--min_sent_count", str(args.min_sent_count),
-                   "--batch_size", str(args.batch)])
+views = ast.literal_eval(args.views)
+cfg_args = ["--review_net_only", str(not args.full),
+            "--min_sent_count", str(args.min_sent_count),
+            "--batch_size", str(args.batch)]
+if args.full:
+    cfg_args += ["--views", args.views, "--photo_size", str(args.photo_size)]
+cfg = Config(argv=cfg_args)
 w2v = Word2vec(args.glove)
 splits = {}
 for name in ("train", "valid", "test"):
@@ -80,18 +101,27 @@ for name in ("train", "valid", "test"):
 print(f"{args.side}: train {len(splits['train'])} valid {len(splits['valid'])} "
       f"test {len(splits['test'])}", flush=True)
 
-dims = ModelDims(review_net_only=True)
+dims = ModelDims(review_net_only=not args.full, view_size=len(views),
+                 photo_size=args.photo_size)
 params0 = init_umpr(jax.random.PRNGKey(args.seed), dims, w2v.embedding)
 LR, WD, EPOCHS, BS = args.lr, cfg.l2_regularization, args.epochs, args.batch
+resize = (args.photo_size, args.photo_size)
+# one decode cache shared by every epoch's loaders (train/valid/test revisit
+# the same JPEGs; in --full mode the torch oracle is already CPU-bound)
+_cache = PhotoCache(2 << 30) if args.full else None
 
 
 def loader(split, shuffle=False, seed=0, pad_to_full=True):
     return BatchLoader(splits[split], BS, shuffle=shuffle, seed=seed,
-                       ignore_photos=True, pad_to_full=pad_to_full)
+                       ignore_photos=not args.full, resize=resize,
+                       pad_to_full=pad_to_full, photo_cache=_cache)
 
 
 result = {"side": args.side, "seed": args.seed, "epochs": EPOCHS,
-          "batch": BS, "lr": LR, "valid_mse": []}
+          "batch": BS, "lr": LR, "full": args.full,
+          "views": views if args.full else None,
+          "photo_size": args.photo_size if args.full else None,
+          "valid_mse": []}
 
 if args.side == "ours":
     trainable, frozen = split_frozen(params0)
@@ -99,7 +129,8 @@ if args.side == "ours":
     opt_state = tx.init(trainable)
     step = make_train_step(dims, tx)
     eval_step = make_eval_step(dims)
-    drng = jax.random.PRNGKey(0)  # unused: no dropout in the UMPR-R path
+    # UMPR-R has no dropout; full mode disables it on both sides (docstring)
+    drng = None if args.full else jax.random.PRNGKey(0)
     best = (float("inf"), -1, None)
     for epoch in range(EPOCHS):
         lr = lr_at_epoch(LR, cfg.lr_decay, epoch)
@@ -125,15 +156,22 @@ else:
     import copy
 
     import torch
+    from torch import nn
 
+    import tests.ref_oracle as ref_oracle
     from tests.ref_oracle import (RefConfig, batch_to_reference,
                                   import_reference_model, load_umpr,
                                   make_reference_optimizer,
                                   patch_improved_rnn, reference_dataset_mse)
     torch.manual_seed(0)  # inconsequential: all params come from params0
+    ref_oracle.FAKE_VGG_IMG_SIZE = args.photo_size  # match our classifier sizing
     ref = import_reference_model()
     patch_improved_rnn(ref)
-    model = load_umpr(ref, params0, RefConfig(review_net_only=True))
+    model = load_umpr(ref, params0,
+                      RefConfig(review_net_only=not args.full, views=views))
+    for m in model.modules():
+        if isinstance(m, nn.Dropout):
+            m.p = 0.0  # see module docstring
     opt, sch = make_reference_optimizer(model, LR, WD, cfg.lr_decay)
 
     def torch_mse(split):
