@@ -102,15 +102,23 @@ class BatchLoader:
             yield self._make_batch(order[start:start + self.batch_size])
 
 
-def chunk_stream(loader, k, put_chunk, put_single, depth=2):
+def chunk_stream(loader, k, put_chunk, put_single, depth=2,
+                 extract=lambda hb: hb):
     """Stack runs of `k` host batches on a NEW leading axis and ship each run
     to the device in one transfer (the multi-step dispatch protocol shared by
     the trainer's train/eval paths and the serving Predictor — one place so
     the stack/ship/remainder semantics cannot fork).  Remainder batches that
     cannot fill a chunk ship individually.  Yields prefetched
-    (device_payload, [host batches inside the payload], chunked?) triples;
-    `put_chunk`/`put_single` provide the transfer (device_put vs multihost
-    put_global)."""
+    (device_payload, [extract(host batch) per batch in the payload], chunked?)
+    triples; `put_chunk`/`put_single` provide the transfer (device_put vs
+    multihost put_global).
+
+    `extract` picks what survives the prefetch queue per host batch.  The
+    default keeps whole batches, but callers should keep only what they need:
+    the queue holds up to depth*k host batches (decoded photos included), so
+    a trainer that never reads them back passes ``lambda hb: None`` and a
+    server that only needs liveness passes ``lambda hb: hb["sample_mask"] > 0``
+    — the full arrays are then released as soon as the transfer is issued."""
     def gen():
         buf = []
         for hb in iter(loader):
@@ -118,10 +126,10 @@ def chunk_stream(loader, k, put_chunk, put_single, depth=2):
             if len(buf) == k:
                 stacked = {key: np.stack([b[key] for b in buf])
                            for key in buf[0]}
-                yield (put_chunk(stacked), buf, True)
+                yield (put_chunk(stacked), [extract(b) for b in buf], True)
                 buf = []
         for hb in buf:
-            yield (put_single(hb), [hb], False)
+            yield (put_single(hb), [extract(hb)], False)
 
     return prefetch_iter(gen(), depth=depth)
 

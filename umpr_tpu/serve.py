@@ -102,12 +102,15 @@ class Predictor:
         driven with plain device_put (serving is single-process)."""
         from umpr_tpu.data.loader import chunk_stream
 
-        for dev, hbs, chunked in chunk_stream(
-                loader, self._k,
-                put_chunk=lambda s: jax.device_put(s, self._dp_stacked),
-                put_single=lambda b: jax.device_put(b, self.dp),
-                depth=self.config.prefetch_depth):
-            yield dev, [b["sample_mask"] > 0 for b in hbs], chunked
+        # extract: only the small liveness masks survive the prefetch queue
+        # -- the full host batches (decoded photos included) are released as
+        # soon as each transfer is issued
+        yield from chunk_stream(
+            loader, self._k,
+            put_chunk=lambda s: jax.device_put(s, self._dp_stacked),
+            put_single=lambda b: jax.device_put(b, self.dp),
+            depth=self.config.prefetch_depth,
+            extract=lambda hb: hb["sample_mask"] > 0)
 
     def predict_dataset(self, dataset):
         """-> (predictions (N,), source_rows (N,)) over retained samples."""

@@ -230,13 +230,17 @@ class Trainer:
 
         from umpr_tpu.data.loader import chunk_stream
 
-        # stacked chunks are (k, B, ...): batch axis is axis 1
-        for dev, _hbs, chunked in chunk_stream(
+        # stacked chunks are (k, B, ...): batch axis is axis 1.  extract=None
+        # drops each host batch (decoded photos included) as soon as its
+        # transfer is issued -- the prefetch queue would otherwise pin up to
+        # depth*k complete host batches nobody reads back.
+        for dev, _none, chunked in chunk_stream(
                 loader, k,
                 put_chunk=lambda s: multihost.put_global(
                     s, self.dp_stacked, batch_axis=1),
                 put_single=lambda b: multihost.put_global(b, self.dp),
-                depth=self.config.prefetch_depth):
+                depth=self.config.prefetch_depth,
+                extract=lambda hb: None):
             yield ("chunk", (dev, k)) if chunked else ("single", dev)
 
     def _progress(self, it, desc, total):
@@ -245,9 +249,14 @@ class Trainer:
         return tqdm(it, desc=desc, total=total, leave=False,
                     disable=not sys.stderr.isatty())
 
-    def _evaluate(self, loader):
+    def _evaluate(self, loader, trainable=None, frozen=None):
+        """MSE over `loader` with the live training params by default;
+        test() passes restored best-checkpoint params through the SAME
+        dispatch machinery (single or --steps_per_dispatch chunked)."""
+        trainable = self.trainable if trainable is None else trainable
+        frozen = self.frozen if frozen is None else frozen
         if self.k_dispatch == 1:
-            return evaluate_mse(self.eval_step, self.trainable, self.frozen,
+            return evaluate_mse(self.eval_step, trainable, frozen,
                                 self._progress(self._device_batches(loader),
                                                "Evaluate", len(loader)))
         # chunked eval dispatch: k batches per device call; every float()
@@ -260,11 +269,9 @@ class Trainer:
                                             "Evaluate", None):
             if kind == "chunk":
                 dev, _k = payload
-                sqs, ns = self.multi_eval_step(self.trainable, self.frozen,
-                                               dev)
+                sqs, ns = self.multi_eval_step(trainable, frozen, dev)
             else:
-                sqs, ns = self.eval_step(self.trainable, self.frozen,
-                                         payload)
+                sqs, ns = self.eval_step(trainable, frozen, payload)
             parts.append((sqs, ns))
         return mse_from_parts(parts)
 
@@ -495,8 +502,9 @@ class Trainer:
         # eval (a table sharded for size must not replicate here)
         frozen = self._place_frozen(frozen)
         loader = self._loader(test_data)
-        mse = evaluate_mse(self.eval_step, trainable, frozen,
-                           self._device_batches(loader))
+        # same dispatch machinery as validation: --steps_per_dispatch k > 1
+        # chunks the test pass too (k batches per device call)
+        mse = self._evaluate(loader, trainable, frozen)
         logger.info(f"Test end, test mse is {mse:.6f}")
         self._metric("test", test_mse=mse)
         return mse
