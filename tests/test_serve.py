@@ -37,6 +37,115 @@ def test_predictor_roundtrip(tmp_path):
     np.testing.assert_array_equal(preds, preds2)
 
 
+def test_coalescer_merges_concurrent_requests_one_dispatch(tmp_path):
+    """Two tiny requests submitted inside the coalescing window must share
+    ONE device dispatch and return exactly what each solo predict_dataset
+    call returns (same padded batch shapes, so numerically identical)."""
+    import threading
+
+    from umpr_tpu.serve import Coalescer
+
+    cfg = Config(argv=["--device", "cpu", "--review_net_only", "True",
+                       "--batch_size", "8"])
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((25, 8)).astype(np.float32)
+    params = init_umpr(jax.random.PRNGKey(2), ModelDims.from_config(cfg), emb)
+    root = str(tmp_path / "m")
+    ckpt.save_best(root, params)
+    predictor = Predictor(cfg, FakeW2v(emb), root)
+
+    ds_a, ds_b = small_dataset(n=3), small_dataset(n=2)
+    solo_a, _ = predictor.predict_dataset(ds_a)
+    solo_b, _ = predictor.predict_dataset(ds_b)
+
+    dispatches = []
+    inner = predictor._predict_packed
+    predictor._predict_packed = lambda ds: (dispatches.append(len(ds)),
+                                            inner(ds))[1]
+    co = Coalescer(predictor, window_s=1.0)
+    results = {}
+
+    def submit(name, ds):
+        results[name] = co.predict(ds, timeout=120)
+
+    threads = [threading.Thread(target=submit, args=("a", ds_a)),
+               threading.Thread(target=submit, args=("b", ds_b))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert dispatches == [5], f"expected one merged dispatch, got {dispatches}"
+    preds_a, rows_a = results["a"]
+    preds_b, rows_b = results["b"]
+    np.testing.assert_array_equal(preds_a, solo_a)
+    np.testing.assert_array_equal(preds_b, solo_b)
+    np.testing.assert_array_equal(rows_a, np.arange(3))
+    np.testing.assert_array_equal(rows_b, np.arange(2))
+
+
+def test_http_coalescing_end_to_end(tmp_path, monkeypatch):
+    """--serve_coalesce_ms wiring: two concurrent HTTP /predict requests
+    land in one dispatch; each response carries its own rows' predictions."""
+    import json
+    import threading
+    import urllib.request
+
+    from umpr_tpu import serve
+    from umpr_tpu.data.dataset import UMPRDataset
+
+    builds = []
+
+    def fake_build(path, pj, pd_, w2v, cfg, df=None):
+        ds = small_dataset(n=len(df))
+        # tag ratings with the request's payload so responses are
+        # distinguishable end-to-end
+        ds.ratings = df["rating"].to_numpy(np.float32)
+        builds.append(len(df))
+        return ds
+
+    class StubPredictor:
+        def __init__(self, cfg):
+            self.config = cfg
+            self.calls = []
+
+        def _predict_packed(self, ds):
+            self.calls.append(len(ds))
+            return np.asarray(ds.ratings, np.float32)
+
+    monkeypatch.setattr(serve, "build_dataset", fake_build)
+    cfg = Config(argv=["--device", "cpu", "--data_dir", str(tmp_path),
+                       "--batch_size", "8", "--serve_coalesce_ms", "700"])
+    predictor = StubPredictor(cfg)
+    server = serve.make_http_server(predictor, cfg, None, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+
+        def post(vals):
+            rows = [{"userID": f"u{v}", "itemID": f"i{v}", "review": "a b",
+                     "rating": v} for v in vals]
+            req = urllib.request.Request(
+                f"{base}/predict", data=json.dumps({"rows": rows}).encode(),
+                headers={"Content-Type": "application/json"})
+            return json.load(urllib.request.urlopen(req, timeout=60))
+
+        results = {}
+        threads = [
+            threading.Thread(target=lambda: results.update(a=post([1., 2.]))),
+            threading.Thread(target=lambda: results.update(b=post([7.])))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results["a"]["predictions"] == [1.0, 2.0]
+        assert results["b"]["predictions"] == [7.0]
+        assert predictor.calls == [3], (
+            f"expected one coalesced dispatch, got {predictor.calls}")
+    finally:
+        server.shutdown()
+
+
 def test_http_pipeline_overlaps_build_and_predict(tmp_path, monkeypatch):
     """Two concurrent /predict requests must pipeline: request B's dataset
     BUILD (host) overlaps request A's PREDICT (device) because the two

@@ -85,6 +85,12 @@ class Config:
                           # Must divide batch_size; update equals the
                           # single-step one up to fp summation order.
     data_workers = 0  # image-decode worker threads (0 = synchronous).
+    serve_coalesce_ms = 0  # HTTP serving: window (ms) during which concurrent
+                           # /predict requests are merged into one device
+                           # batch (0 = every request dispatches alone).
+                           # Small concurrent requests then share a single
+                           # padded dispatch instead of each paying the full
+                           # batch_size compute + dispatch latency.
     photo_cache_mb = 2048  # decoded-photo LRU cache (0 disables); item photos
                            # recur in every sample of that item, so the cache
                            # removes the JPEG-decode bottleneck after epoch 1.

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -70,9 +71,24 @@ class Predictor:
 
         dims = self.dims
 
+        def _full_pad(batch):
+            """Pin pad_maxima to the FULL static padding (the packed arrays'
+            own config-sized dims).  Training/eval compute runtime batch
+            maxima for reference numerics parity (the reference pads each
+            batch to its own maxima, so its predictions depend on batch
+            composition); serving instead must be DETERMINISTIC per row --
+            the same row scores the same whether it arrives alone, packed
+            with other rows, or merged by the request coalescer."""
+            return dict(batch,
+                        pad_maxima=(batch["u_tokens"].shape[1],
+                                    batch["u_tokens"].shape[2],
+                                    batch["ui_tokens"].shape[1],
+                                    batch["ui_tokens"].shape[2]))
+
         @jax.jit
         def _predict(params, batch):
-            pred, _, _ = umpr_forward(params, batch, dims, train=False)
+            pred, _, _ = umpr_forward(params, _full_pad(batch), dims,
+                                      train=False)
             return pred
 
         self._predict = _predict
@@ -85,7 +101,8 @@ class Predictor:
             @jax.jit
             def _predict_k(params, batches):
                 def body(_, b):
-                    pred, _, _ = umpr_forward(params, b, dims, train=False)
+                    pred, _, _ = umpr_forward(params, _full_pad(b), dims,
+                                              train=False)
                     return None, pred
 
                 _, preds = jax.lax.scan(body, None, batches)
@@ -114,6 +131,12 @@ class Predictor:
 
     def predict_dataset(self, dataset):
         """-> (predictions (N,), source_rows (N,)) over retained samples."""
+        return self._predict_packed(dataset), np.asarray(dataset.source_rows)
+
+    def _predict_packed(self, dataset):
+        """Predictions (N,) over a packed dataset's retained samples, in
+        dataset order.  Shared by the per-request path and the coalescer
+        (which concatenates several requests' datasets into one)."""
         cfg = self.config
         loader = BatchLoader(dataset, cfg.batch_size,
                              ignore_photos=cfg.review_net_only,
@@ -136,8 +159,86 @@ class Predictor:
             arr = np.asarray(dev)
             for row, mask in zip(arr if arr.ndim == 2 else arr[None], masks):
                 preds.append(row[mask])
-        out = np.concatenate(preds) if preds else np.zeros(0, np.float32)
-        return out, np.asarray(dataset.source_rows)
+        return np.concatenate(preds) if preds else np.zeros(0, np.float32)
+
+
+class _ConcatDatasets:
+    """Read-only concatenation of packed datasets (see data.dataset
+    UMPRDataset) along the sample axis: exactly the loader-facing surface
+    (field arrays + __len__).  All parts share one Config, so the padded
+    (S, L, V, P) dims already agree; np.concatenate is pure slicing."""
+
+    _FIELDS = ("u_tokens", "u_lengths", "u_counts", "i_tokens", "i_lengths",
+               "i_counts", "ui_tokens", "ui_lengths", "ui_counts", "ratings",
+               "photo_paths")
+
+    def __init__(self, parts):
+        for f in self._FIELDS:
+            setattr(self, f, np.concatenate([getattr(p, f) for p in parts]))
+
+    def __len__(self):
+        return self.u_tokens.shape[0]
+
+
+class Coalescer:
+    """Micro-batch coalescing for HTTP serving: concurrent /predict requests
+    submitted within a `window_s` window are merged into ONE device dispatch
+    (their packed samples concatenated into one padded batch) instead of
+    each paying a full batch_size dispatch.  A single daemon thread owns the
+    device, so callers need no device lock.  Predictions come back through
+    per-request futures in dataset order -- identical to what each request's
+    solo predict_dataset would return (same padded shapes, same kernel)."""
+
+    def __init__(self, predictor, window_s):
+        import queue
+        import threading
+        self._p = predictor
+        self._window = window_s
+        self._q = queue.Queue()
+        threading.Thread(target=self._run, daemon=True,
+                         name="serve-coalescer").start()
+
+    def predict(self, dataset, timeout=None):
+        """Blocking: -> (predictions (N,), source_rows (N,))."""
+        from concurrent.futures import Future
+        fut = Future()
+        self._q.put((dataset, fut))
+        return fut.result(timeout=timeout), np.asarray(dataset.source_rows)
+
+    def _run(self):
+        import queue
+        while True:
+            pending = [self._q.get()]
+            # collect everything that arrives inside the window, up to one
+            # device batch worth of samples (a bigger merge would not save
+            # dispatches, and latecomers start their own window instead of
+            # waiting on a long dispatch queue)
+            deadline = time.monotonic() + self._window
+            cap = self._p.config.batch_size
+            total = len(pending[0][0])
+            while total < cap:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                pending.append(item)
+                total += len(item[0])
+            try:
+                merged = (_ConcatDatasets([ds for ds, _ in pending])
+                          if len(pending) > 1 else pending[0][0])
+                preds = self._p._predict_packed(merged)
+                off = 0
+                for ds, fut in pending:
+                    n = len(ds)
+                    fut.set_result(preds[off:off + n])
+                    off += n
+            except BaseException as e:
+                for _, fut in pending:
+                    if not fut.done():
+                        fut.set_exception(e)
 
 
 def make_http_server(predictor, config, word2vec, port, host="127.0.0.1"):
@@ -158,6 +259,12 @@ def make_http_server(predictor, config, word2vec, port, host="127.0.0.1"):
     photo_dir = os.path.join(config.data_dir, "photos")
     build_lock = threading.Lock()
     device_lock = threading.Lock()
+    # --serve_coalesce_ms > 0: concurrent requests inside the window merge
+    # into one device dispatch; the coalescer's thread owns the device, so
+    # device_lock is bypassed on that path
+    coalesce_ms = max(0, getattr(config, "serve_coalesce_ms", 0))
+    coalescer = (Coalescer(predictor, coalesce_ms / 1000.0)
+                 if coalesce_ms > 0 else None)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -212,8 +319,11 @@ def make_http_server(predictor, config, word2vec, port, host="127.0.0.1"):
                     df["review"] = df["review"].astype(str)
                     ds = build_dataset(None, photo_json, photo_dir,
                                        word2vec, config, df=df)
-                with device_lock:
-                    preds, rows = predictor.predict_dataset(ds)
+                if coalescer is not None:
+                    preds, rows = coalescer.predict(ds)
+                else:
+                    with device_lock:
+                        preds, rows = predictor.predict_dataset(ds)
                 import math
                 out = [None] * len(df)
                 for p, r in zip(preds.tolist(), rows.tolist()):
