@@ -349,6 +349,84 @@ def bench_serving(batch_np, B, compute_dtype="bfloat16", iters=50):
             "samples_per_sec": round(best, 1)}
 
 
+def synthetic_packed_dataset(n, rng, B_=B):
+    """A packed UMPR-R dataset at Music-small shapes (S=20, L=20, S_ui=5)
+    with realistic length/count spreads -- the input to a REAL Trainer.fit,
+    exercising everything the device-loop benches skip: loader
+    fancy-indexing, host->device transfer, prefetch, dispatch cadence,
+    logging."""
+    from umpr_tpu.data.dataset import UMPRDataset
+
+    def lengths(count_max, n_sent):
+        c = rng.integers(5, count_max + 1, n).astype(np.int32)
+        l = rng.integers(3, L + 1, (n, n_sent)).astype(np.int32)
+        mask = np.arange(n_sent)[None, :] >= c[:, None]
+        l[mask] = 1  # pad sentences carry length 1 (reference dataset.py:127)
+        return c, l
+
+    u_c, u_l = lengths(S, S)
+    i_c, i_l = lengths(S, S)
+    ui_c = rng.integers(1, S_UI + 1, n).astype(np.int32)
+    ui_l = rng.integers(3, L + 1, (n, S_UI)).astype(np.int32)
+    ui_l[np.arange(S_UI)[None, :] >= ui_c[:, None]] = 1
+    return UMPRDataset(
+        u_tokens=rng.integers(3, VOCAB, (n, S, L)).astype(np.int32),
+        u_lengths=u_l, u_counts=u_c,
+        i_tokens=rng.integers(3, VOCAB, (n, S, L)).astype(np.int32),
+        i_lengths=i_l, i_counts=i_c,
+        ui_tokens=rng.integers(3, VOCAB, (n, S_UI, L)).astype(np.int32),
+        ui_lengths=ui_l, ui_counts=ui_c,
+        ratings=rng.uniform(1, 5, n).astype(np.float32),
+        photo_paths=np.full((n, 1, 1), "", dtype=np.str_),
+    )
+
+
+def bench_through_trainer(n=16384, epochs=3, k_dispatch=10, workers=2):
+    """Wall-clock samples/sec of the REAL training loop: Trainer.fit on a
+    synthetic packed dataset (Music-small shapes), steady-state epochs only
+    (epoch 0 pays compile + warmup and is excluded via the metrics channel).
+    This is the number a user's `python main.py` run actually delivers,
+    vs. the device-loop cycle above (VERDICT r3: the ~8x gap between the
+    two was unattributed; see BENCH_DETAILS.md "Through-trainer")."""
+    import tempfile
+
+    import jax
+
+    from umpr_tpu.config import Config
+    from umpr_tpu.models.umpr import ModelDims  # noqa: F401 (compile cache)
+    from umpr_tpu.train.trainer import Trainer
+    from umpr_tpu.utils.logging import get_logger
+
+    rng = np.random.default_rng(9)
+    train_ds = synthetic_packed_dataset(n, rng)
+    valid_ds = synthetic_packed_dataset(4 * B, rng)
+
+    with tempfile.TemporaryDirectory() as td:
+        metrics = os.path.join(td, "metrics.jsonl")
+        cfg = Config(argv=[
+            "--review_net_only", "True", "--batch_size", str(B),
+            "--train_epochs", str(epochs), "--eval_every", "1000000",
+            "--steps_per_dispatch", str(k_dispatch),
+            "--data_workers", str(workers),
+            "--min_sent_count", "1", "--metrics_jsonl", metrics])
+
+        class _W2v:
+            embedding = np.random.default_rng(0).standard_normal(
+                (VOCAB, EMB)).astype(np.float32)
+
+        t = Trainer(cfg, get_logger(logger_name="bench-through"), _W2v())
+        t.fit(train_ds, valid_ds, os.path.join(td, "model"))
+        ep = [json.loads(l) for l in open(metrics)]
+        ep = [r for r in ep if r["event"] == "epoch"]
+    if len(ep) < 2:
+        return None
+    dt = ep[-1]["elapsed_s"] - ep[0]["elapsed_s"]  # steady-state epochs
+    sps = (len(ep) - 1) * n / dt
+    return {"batch": B, "n_samples": n, "steady_epochs": len(ep) - 1,
+            "steps_per_dispatch": k_dispatch, "data_workers": workers,
+            "samples_per_sec": round(sps, 1)}
+
+
 def _require_devices(timeout_s=600):
     """Fail fast (rc=1) when the device attachment is wedged.
 
@@ -386,7 +464,7 @@ def main():
     batch_np = make_batch(rng)
     tpu_sps = bench_tpu(batch_np, rounds=4)
 
-    review_tp = serving = chunked = None
+    review_tp = serving = chunked = through = None
     if os.environ.get("UMPR_BENCH_SKIP_FULL") != "1":
         try:
             ck = bench_tpu_chunked(batch_np)
@@ -409,6 +487,11 @@ def main():
                                                REVIEW_TP_B), REVIEW_TP_B)
         except Exception as e:
             print(f"serving bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        try:
+            through = bench_through_trainer()
+        except Exception as e:
+            print(f"through-trainer bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
     full = full_b128 = full_serving = None
@@ -456,6 +539,7 @@ def main():
         "vs_baseline": round(tpu_sps / cpu_sps, 2) if cpu_sps == cpu_sps else None,
         "review_throughput_mode": review_tp,
         "review_chunked_dispatch": chunked,
+        "through_trainer": through,
         "serving_mode": serving,
         "full_umpr": full,
         "full_umpr_throughput_mode": full_b128,
