@@ -184,6 +184,99 @@ def realistic(args):
           f"vocab {len(vocab)} to {args.out}")
 
 
+def aspect_corpus(args):
+    """Amazon-style corpus with PLANTED aspect structure (--aspect_corpus):
+    K latent aspects, each with its own topic vocabulary and its own
+    positive/negative sentiment lexicon; every item carries a per-aspect
+    quality; each sentence talks about ONE aspect using that aspect's topic
+    words plus sentiment words matching the item's quality on it; the
+    rating is driven by the qualities of the aspects the review mentions.
+
+    This is the corpus the ABAE -> R-Net pretraining pipeline (reference
+    pretrain/abae.py, pretrain_rnet.py) assumes exists: sentences cluster
+    by aspect in embedding space (so ABAE's KMeans-initialized aspect
+    matrix has something to find), and aspect-conditional sentiment words
+    predict the label (so an R-Net warm-started on aspect-pair
+    discrimination starts with useful text features).  The round-3
+    warm-start exercise used sentiment lexicons UNcorrelated with topics,
+    giving ABAE near-random aspects and a warm start that injected noise
+    (PARITY.md); this generator exists to measure the warm start where the
+    subsystem's premise holds."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from umpr_tpu.text.stoplists import STOP_WORDS
+
+    nprng = np.random.default_rng(args.seed)
+    U, I, N, K = args.users, args.items, args.n_reviews, args.aspects
+    if N > U * I:
+        raise SystemExit(f"need n_reviews <= users*items; got {N} > {U * I}")
+
+    TOPIC_W, SENT_W, FILLER_W = 40, 25, 150
+    need = K * (TOPIC_W + 2 * SENT_W) + FILLER_W
+    vocab = _make_vocab(nprng, need, STOP_WORDS)
+    pos = [vocab[k * SENT_W:(k + 1) * SENT_W] for k in range(K)]
+    off = K * SENT_W
+    neg = [vocab[off + k * SENT_W:off + (k + 1) * SENT_W] for k in range(K)]
+    off += K * SENT_W
+    topics = [vocab[off + k * TOPIC_W:off + (k + 1) * TOPIC_W] for k in range(K)]
+    filler = vocab[off + K * TOPIC_W:]
+
+    # per-item aspect qualities in [0,1] and aspect salience
+    quality = nprng.uniform(0.0, 1.0, (I, K))
+    salience = nprng.dirichlet(np.full(K, 1.2), I)
+    b_u = nprng.normal(0.0, 0.25, U)
+    user_p = _zipf_probs(U, 0.85)[nprng.permutation(U)]
+    item_p = _zipf_probs(I, 0.95)[nprng.permutation(I)]
+
+    seen = set()
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "reviews.json"), "w") as f:
+        written = 0
+        while written < N:
+            us = nprng.choice(U, size=N - written, p=user_p)
+            its = nprng.choice(I, size=N - written, p=item_p)
+            for u, it in zip(us, its):
+                u, it = int(u), int(it)
+                if (u, it) in seen:
+                    continue
+                seen.add((u, it))
+                n_sent = int(nprng.integers(3, 8))
+                aspects = nprng.choice(K, size=n_sent, p=salience[it])
+                sents = []
+                for a in aspects:
+                    q = float(np.clip(quality[it, a]
+                                      + nprng.normal(0, 0.1), 0, 1))
+                    n_words = int(nprng.integers(8, 17))
+                    n_senti = int(nprng.integers(2, 5))
+                    lex = pos[a] if q >= 0.5 else neg[a]
+                    anti = neg[a] if q >= 0.5 else pos[a]
+                    words = []
+                    for _ in range(n_words - n_senti):
+                        src = topics[a] if nprng.random() < 0.65 else filler
+                        words.append(src[int(nprng.integers(len(src)))])
+                    # sentiment-word polarity purity scales with |q - 0.5|
+                    p_right = 0.55 + 0.9 * abs(q - 0.5)
+                    for _ in range(n_senti):
+                        pool = lex if nprng.random() < p_right else anti
+                        words.append(pool[int(nprng.integers(len(pool)))])
+                    nprng.shuffle(words)
+                    sents.append(" ".join(words))
+                mean_q = float(np.mean(quality[it, aspects]))
+                score = 1.0 + 4.0 * mean_q + b_u[u] + nprng.normal(0, 0.25)
+                stars = float(min(5, max(1, round(score))))
+                f.write(repr({"reviewerID": f"U{u}", "asin": f"I{it}",
+                              "reviewText": ". ".join(sents) + ".",
+                              "overall": stars}) + "\n")
+                written += 1
+
+    with open(os.path.join(args.out, "meta.json"), "w") as f:
+        for it in range(I):
+            f.write(repr({"asin": f"I{it}",
+                          "imUrl": f"http://x/{it}.jpg"}) + "\n")
+    print(f"Wrote aspect corpus: {N} reviews, {U} users, {I} items, "
+          f"{K} aspects, vocab {len(vocab)} to {args.out}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -205,8 +298,17 @@ def main(argv=None):
     ap.add_argument("--write_glove", action="store_true",
                     help="with --realistic: also write glove.txt with "
                          "random emb_dim-d vectors for the whole vocab")
+    ap.add_argument("--aspect_corpus", action="store_true",
+                    help="amazon-style corpus with planted aspect structure "
+                         "(K topics x aspect-specific sentiment lexicons) "
+                         "for pretraining-value experiments; embeddings via "
+                         "tools/train_embeddings.py")
+    ap.add_argument("--aspects", type=int, default=6)
     args = ap.parse_args(argv)
 
+    if args.aspect_corpus:
+        aspect_corpus(args)
+        return
     if args.realistic:
         realistic(args)
         return
