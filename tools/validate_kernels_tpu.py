@@ -143,6 +143,42 @@ def validate_attention(B=64, P=400, D=128):
             check(f"{name} values", d, 2e-4)
 
 
+def validate_fused_pool(N=8, H=112, W=112, C=128):
+    import jax
+    import jax.numpy as jnp
+    from umpr_tpu.ops.pool_pallas import (fused_bias_relu_pool,
+                                          reference_bias_relu_pool)
+
+    rng = np.random.default_rng(2)
+    for dt, y_tol, g_tol in ((jnp.float32, 0.0, 1e-5),
+                             (jnp.bfloat16, 0.0, 5e-2)):
+        x = jnp.asarray(rng.standard_normal((N, H, W, C)), dt)
+        b = jnp.asarray(rng.standard_normal(C) * 0.1, dt)
+        g = jnp.asarray(rng.standard_normal((N, H // 2, W // 2, C)), dt)
+        yp = fused_bias_relu_pool(x, b)
+        yr = reference_bias_relu_pool(x, b)
+        check(f"fused pool values {dt.__name__}",
+              float(jnp.max(jnp.abs(yp.astype(jnp.float32)
+                                    - yr.astype(jnp.float32)))), y_tol)
+
+        def loss(fn):
+            return lambda x_, b_: jnp.sum(
+                fn(x_, b_).astype(jnp.float32) * g.astype(jnp.float32))
+
+        dxf, dbf = jax.grad(loss(fused_bias_relu_pool), (0, 1))(x, b)
+        dxr, dbr = jax.grad(loss(reference_bias_relu_pool), (0, 1))(x, b)
+        check(f"fused pool dx {dt.__name__}",
+              float(jnp.max(jnp.abs(dxf.astype(jnp.float32)
+                                    - dxr.astype(jnp.float32)))), g_tol)
+        # db: kernel accumulates f32; bf16 composite's own accumulation
+        # error dominates the bound (see tests/test_pool_pallas.py)
+        check(f"fused pool db l2-rel {dt.__name__}",
+              float(np.linalg.norm(np.asarray(dbf, np.float32)
+                                   - np.asarray(dbr, np.float32))
+                    / (np.linalg.norm(np.asarray(dbr, np.float32)) + 1e-6)),
+              max(g_tol, 1e-4))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--N", type=int, default=2560)
@@ -155,6 +191,7 @@ def main():
     validate_gru(args.N)
     validate_gru_split(args.N)
     validate_attention()
+    validate_fused_pool()
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")
         sys.exit(1)

@@ -113,6 +113,13 @@ class Config:
                       # at 224.
     vgg_fold_w = True  # width-folded VGG block 1 (identical math; fills the
                        # 128-lane TPU tiles that block 1's C=64 half-wastes).
+    vgg_fused_pool = False  # Pallas fused bias+relu+pool at the UNFOLDED
+                            # large VGG pool boundaries (blocks 1-2): the
+                            # block's closing full-size tensor never
+                            # materializes post-bias and the backward's
+                            # full-size traffic drops ~2x at those
+                            # boundaries (umpr_tpu/ops/pool_pallas.py).
+                            # Requires use_pallas.
     remat_vgg = False  # rematerialize VGG conv blocks in the backward
                        # (jax.checkpoint): saves only post-pool block outputs,
                        # trading ~1 extra forward's conv FLOPs for most of the

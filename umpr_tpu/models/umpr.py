@@ -52,6 +52,11 @@ class ModelDims:
     remat_vgg: bool = False  # jax.checkpoint each VGG conv block: save only
                              # post-pool block outputs for the backward,
                              # trading recompute FLOPs for activation HBM
+    vgg_fused_pool: bool = False  # Pallas fused bias+relu+pool at the
+                                  # unfolded large pool boundaries (blocks
+                                  # 1-2): the block's last full-size tensor
+                                  # never materializes post-bias
+                                  # (ops/pool_pallas.py)
     n_data_devices: int = 1  # devices the batch is sharded over ('dp' mesh
                              # axis).  The fold's measured win/loss crossover
                              # is PER-DEVICE rows (<=64), but under GSPMD jit
@@ -75,6 +80,9 @@ class ModelDims:
             photo_size=getattr(config, "photo_size", 224),
             vgg_fold_w=getattr(config, "vgg_fold_w", True),
             remat_vgg=getattr(config, "remat_vgg", False),
+            vgg_fused_pool=(getattr(config, "vgg_fused_pool", False)
+                            and (config.use_pallas if use_pallas is None
+                                 else use_pallas)),
         )
 
 
@@ -167,7 +175,7 @@ def umpr_forward(params, batch, dims: ModelDims, train=False, dropout_rng=None):
     pos_match, neg_match, final_pos, final_neg = visual_net(
         params["visual_net"], batch["photos"], c_u, c_i, train, dropout_rng,
         fold_w=dims.vgg_fold_w, fold_rows=64 * dims.n_data_devices,
-        remat=dims.remat_vgg)
+        remat=dims.remat_vgg, fused_pool=dims.vgg_fused_pool)
 
     fused = jnp.concatenate([rn, final_pos, final_neg], axis=-1)
     prediction = jax.nn.relu(linear(params["linear_fusion"], fused))[:, 0]

@@ -195,10 +195,17 @@ def _vgg_blocks():
     return tuple(blocks)
 
 
-def _vgg_block(x, bparams, cfg, folded):
+def _vgg_block(x, bparams, cfg, folded, fused_pool=False):
     """One conv block.  `folded` (static) = x arrives W-folded; the block's
     closing pool consumes the fold (VGG16_CFG always pools before the first
-    >64-channel conv, so folded convs are always 128-wide, 2C <= 128)."""
+    >64-channel conv, so folded convs are always 128-wide, 2C <= 128).
+
+    fused_pool (static): close UNFOLDED large blocks (H >= 56, i.e. blocks
+    1-2) with the Pallas fused bias+relu+pool kernel instead of the
+    composite epilogue+reduce_window -- the block's last full-size tensor
+    then never materializes post-bias and the autodiff residual halves
+    (ops/pool_pallas.py)."""
+    n_convs = sum(1 for v in cfg if v != "M")
     ci = 0
     for v in cfg:
         if v == "M":
@@ -218,12 +225,16 @@ def _vgg_block(x, bparams, cfg, folded):
         x = jax.lax.conv_general_dilated(
             x, p["kernel"], window_strides=(1, 1), padding=[(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if (fused_pool and ci == n_convs and not folded
+                and x.shape[1] >= 56 and x.shape[1] % 2 == 0):
+            from umpr_tpu.ops.pool_pallas import fused_bias_relu_pool
+            return fused_bias_relu_pool(x, p["bias"])
         x = _bias_relu(x, p["bias"])
     return x
 
 
 def vgg16(params, images, train=False, dropout_rng=None, fold_w=True,
-          fold_rows=64, remat=False):
+          fold_rows=64, remat=False, fused_pool=False):
     """images: (N, 224, 224, 3) float in [0,1] -> (N, 1000) logits.
 
     Dropout (p=0.5) is active in train mode exactly as torchvision's
@@ -253,8 +264,8 @@ def vgg16(params, images, train=False, dropout_rng=None, fold_w=True,
         conv_idx += n_convs
         block = _vgg_block
         if remat:
-            block = jax.checkpoint(_vgg_block, static_argnums=(2, 3))
-        x = block(x, bparams, cfg, folded)
+            block = jax.checkpoint(_vgg_block, static_argnums=(2, 3, 4))
+        x = block(x, bparams, cfg, folded, fused_pool)
         folded = False
     # (N, 7, 7, 512) -> flatten in NCHW order for torch-weight compatibility
     n = x.shape[0]
@@ -282,7 +293,7 @@ def init_visual_net(key, view_size, vgg_out=VGG_OUT, img_size=224):
 
 
 def visual_net(p, images_u8, c_u, c_i, train=False, dropout_rng=None,
-               fold_w=True, fold_rows=64, remat=False):
+               fold_w=True, fold_rows=64, remat=False, fused_pool=False):
     """images_u8: (B, V, P, H, W, 3) uint8 -> matching scores (eq. 10-11).
 
     Reference: model.py:212-229.  Returns pos_match, neg_match, final_pos,
@@ -293,7 +304,7 @@ def visual_net(p, images_u8, c_u, c_i, train=False, dropout_rng=None,
     images = images_u8.reshape((B * V * P,) + images_u8.shape[3:])
     images = images.astype(compute_dtype) / 255.0  # on-device /255, NO mean/std norm
     img_repr = vgg16(p["vgg16"], images, train, dropout_rng, fold_w=fold_w,
-                     fold_rows=fold_rows, remat=remat)
+                     fold_rows=fold_rows, remat=remat, fused_pool=fused_pool)
     img_repr = img_repr.reshape(B, V, P, -1).mean(axis=2)  # eq. 10
 
     img_emb = linear(p["linear"], img_repr)[..., 0]          # (B, V)
