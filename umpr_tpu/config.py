@@ -76,8 +76,13 @@ class Config:
                             # Each save writes full params + opt state --
                             # pick a cadence that amortizes that host cost.
     steps_per_dispatch = 1  # train steps per jit dispatch (lax.scan over stacked
-                            # batches); amortizes per-dispatch host latency on
-                            # remote-attached TPUs. Must divide eval_every.
+                            # batches); amortizes per-dispatch host latency.
+                            # Bit-exact vs k=1 (CI-tested).  Must divide
+                            # eval_every.  On THIS host the B=64 single-step
+                            # path already saturates after the round-3 kernel
+                            # work (27.7k k=10 vs 27.9k k=1, BENCH_r03) -- the
+                            # win case is remote-attached TPUs with higher
+                            # per-dispatch latency than this relay.
     grad_accum_steps = 1  # micro-batches per optimizer update (gradient
                           # accumulation inside one jit via lax.scan): peak
                           # activation memory drops to one micro-batch's,
