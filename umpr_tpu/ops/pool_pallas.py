@@ -58,10 +58,12 @@ def _fwd_kernel(x_ref, b_ref, yp_ref, idx_ref):
     # x: (1, 2hT, W, C) raw conv output; b: (1, C)
     x = x_ref[0]
     y = jnp.maximum(x + b_ref[0][None, None, :], 0)
-    a = y[0::2]     # (hT, W, C) even input rows
-    c = y[1::2]     # odd input rows
-    v0, v1 = a[:, 0::2], a[:, 1::2]   # (hT, W/2, C) window corners
-    v2, v3 = c[:, 0::2], c[:, 1::2]
+    two_h, W, C = y.shape
+    # window corners via reshape + STATIC indexing (strided slices on >2-D
+    # arrays lower to gathers Mosaic rejects; static indexes are lax.slice)
+    y4 = y.reshape(two_h // 2, 2, W // 2, 2, C)
+    v0, v1 = y4[:, 0, :, 0], y4[:, 0, :, 1]   # (hT, W/2, C) top corners
+    v2, v3 = y4[:, 1, :, 0], y4[:, 1, :, 1]   # bottom corners
     yp = jnp.maximum(jnp.maximum(v0, v1), jnp.maximum(v2, v3))
     # first-match argmax in window order 0..3 (ties -> lowest index)
     idx = jnp.where(
@@ -84,11 +86,12 @@ def _bwd_kernel(dyp_ref, idx_ref, yp_ref, dx_ref, db_ref, db_acc):
     g = jnp.where(yp_ref[0] > 0, dyp, jnp.zeros_like(dyp))  # ReLU mask
     parts = [jnp.where(idx == p, g, jnp.zeros_like(g)) for p in range(4)]
     hT, W2, C = g.shape
-    # interleave W phases: (hT, W/2, 2, C) -> (hT, W, C)
-    even = jnp.stack([parts[0], parts[1]], axis=2).reshape(hT, 2 * W2, C)
-    odd = jnp.stack([parts[2], parts[3]], axis=2).reshape(hT, 2 * W2, C)
-    # interleave H phases: (hT, 2, W, C) -> (2hT, W, C)
-    dx = jnp.stack([even, odd], axis=1).reshape(2 * hT, 2 * W2, C)
+    # scatter to window corners: (hT, 2, W/2, 2, C) -> (2hT, W, C); stacks
+    # lower to concatenate (no gather), reshape merges the phase axes
+    dx = jnp.stack(
+        [jnp.stack([parts[0], parts[1]], axis=2),
+         jnp.stack([parts[2], parts[3]], axis=2)],
+        axis=1).reshape(2 * hT, 2 * W2, C)
     dx_ref[0] = dx.astype(dx_ref.dtype)
     db_acc[:] += jnp.sum(g, axis=(0, 1), dtype=jnp.float32)
 
