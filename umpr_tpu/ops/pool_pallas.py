@@ -45,11 +45,15 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _h_tile(H2):
-    """Rows of pooled output per grid step: largest divisor of H2 <= 16
-    (H2 in VGG is 112/56/28/14/7)."""
+def _h_tile(H2, W, C, itemsize):
+    """Rows of pooled output per grid step: the largest divisor of H2
+    (112/56/28/14/7 in VGG) whose working set fits scoped VMEM.  The block
+    itself is 2d*W*C elements, but the corner split + masks keep ~9 block
+    copies live (measured: hT=16 at W=112/C=128 f32 wanted 16.25 MB), so
+    budget 11 MB across 9 copies."""
+    itemsize = max(itemsize, 4)  # the kernel interior runs in f32
     for d in (16, 14, 8, 7, 4, 2, 1):
-        if H2 % d == 0:
+        if H2 % d == 0 and 2 * d * W * C * itemsize * 9 <= (11 << 20):
             return d
     return 1
 
@@ -57,7 +61,10 @@ def _h_tile(H2):
 def _fwd_kernel(x_ref, b_ref, yp_ref, idx_ref):
     # x: (1, 2hT, W, C) raw conv output; b: (1, C)
     x = x_ref[0]
-    y = jnp.maximum(x + b_ref[0][None, None, :], 0)
+    # the add rounds in the INPUT dtype (matches the composite epilogue);
+    # everything after max/compare runs in f32 -- exact for bf16 values,
+    # and f32 comparisons sidestep a Mosaic bf16-mask relayout bug
+    y = jnp.maximum(x + b_ref[0][None, None, :], 0).astype(jnp.float32)
     two_h, W, C = y.shape
     # window corners via reshape + STATIC indexing (strided slices on >2-D
     # arrays lower to gathers Mosaic rejects; static indexes are lax.slice)
@@ -69,7 +76,7 @@ def _fwd_kernel(x_ref, b_ref, yp_ref, idx_ref):
     idx = jnp.where(
         v0 >= yp, 0.0,
         jnp.where(v1 >= yp, 1.0, jnp.where(v2 >= yp, 2.0, 3.0)))
-    yp_ref[0] = yp
+    yp_ref[0] = yp.astype(yp_ref.dtype)
     idx_ref[0] = idx.astype(jnp.bfloat16)
 
 
@@ -81,9 +88,12 @@ def _bwd_kernel(dyp_ref, idx_ref, yp_ref, dx_ref, db_ref, db_acc):
     def _():
         db_acc[:] = jnp.zeros_like(db_acc)
 
-    dyp = dyp_ref[0]
+    # all-f32 interior: f32 comparisons sidestep the Mosaic bf16-mask
+    # relayout bug (see _fwd_kernel); dx casts back on the final store
+    dyp = dyp_ref[0].astype(jnp.float32)
     idx = idx_ref[0].astype(jnp.float32)
-    g = jnp.where(yp_ref[0] > 0, dyp, jnp.zeros_like(dyp))  # ReLU mask
+    yp = yp_ref[0].astype(jnp.float32)
+    g = jnp.where(yp > 0, dyp, jnp.zeros_like(dyp))  # ReLU mask
     parts = [jnp.where(idx == p, g, jnp.zeros_like(g)) for p in range(4)]
     hT, W2, C = g.shape
     # scatter to window corners: (hT, 2, W/2, 2, C) -> (2hT, W, C); stacks
@@ -104,7 +114,7 @@ def _bwd_kernel(dyp_ref, idx_ref, yp_ref, dx_ref, db_ref, db_acc):
 def _forward(x, b):
     N, H, W, C = x.shape
     H2, W2 = H // 2, W // 2
-    hT = _h_tile(H2)
+    hT = _h_tile(H2, W, C, x.dtype.itemsize)
     x_spec = pl.BlockSpec((1, 2 * hT, W, C), lambda h, n: (n, h, 0, 0),
                           memory_space=pltpu.VMEM)
     b_spec = pl.BlockSpec((1, C), lambda h, n: (0, 0),
@@ -130,7 +140,7 @@ def _forward(x, b):
 
 def _backward(dyp, idx, yp, x_dtype):
     N, H2, W2, C = dyp.shape
-    hT = _h_tile(H2)
+    hT = _h_tile(H2, 2 * W2, C, dyp.dtype.itemsize)
     small = pl.BlockSpec((1, hT, W2, C), lambda h, n: (n, h, 0, 0),
                          memory_space=pltpu.VMEM)
     dx_spec = pl.BlockSpec((1, 2 * hT, 2 * W2, C), lambda h, n: (n, h, 0, 0),
