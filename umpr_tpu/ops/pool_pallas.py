@@ -52,8 +52,11 @@ def _h_tile(H2, W, C, itemsize):
     copies live (measured: hT=16 at W=112/C=128 f32 wanted 16.25 MB), so
     budget 11 MB across 9 copies."""
     itemsize = max(itemsize, 4)  # the kernel interior runs in f32
+    # lanes are 128-wide: C < 128 tiles are padded to 128 in VMEM (measured:
+    # hT=8 at W=224/C=64 allocated 16.42 MB -- 2x the unpadded model)
+    c_pad = -(-C // 128) * 128
     for d in (16, 14, 8, 7, 4, 2, 1):
-        if H2 % d == 0 and 2 * d * W * C * itemsize * 9 <= (11 << 20):
+        if H2 % d == 0 and 2 * d * W * c_pad * itemsize * 9 <= (11 << 20):
             return d
     return 1
 
