@@ -387,10 +387,13 @@ def bench_through_trainer(n=16384, epochs=3, k_dispatch=10, workers=2):
     (epoch 0 pays compile + warmup and is excluded via the metrics channel).
     This is the number a user's `python main.py` run actually delivers,
     vs. the device-loop cycle above (VERDICT r3: the ~8x gap between the
-    two was unattributed; see BENCH_DETAILS.md "Through-trainer")."""
-    import tempfile
+    two was unattributed; see BENCH_DETAILS.md "Through-trainer").
 
-    import jax
+    Measured twice: the default path (--device_dataset auto -> the corpus
+    resident in HBM, index-only dispatch -- the round-4 lever that removes
+    the dominant host->device batch-transfer term) and --device_dataset off
+    (the streaming loader path, for the attribution delta)."""
+    import tempfile
 
     from umpr_tpu.config import Config
     from umpr_tpu.models.umpr import ModelDims  # noqa: F401 (compile cache)
@@ -401,30 +404,38 @@ def bench_through_trainer(n=16384, epochs=3, k_dispatch=10, workers=2):
     train_ds = synthetic_packed_dataset(n, rng)
     valid_ds = synthetic_packed_dataset(4 * B, rng)
 
-    with tempfile.TemporaryDirectory() as td:
-        metrics = os.path.join(td, "metrics.jsonl")
-        cfg = Config(argv=[
-            "--review_net_only", "True", "--batch_size", str(B),
-            "--train_epochs", str(epochs), "--eval_every", "1000000",
-            "--steps_per_dispatch", str(k_dispatch),
-            "--data_workers", str(workers),
-            "--min_sent_count", "1", "--metrics_jsonl", metrics])
+    def run(device_dataset):
+        with tempfile.TemporaryDirectory() as td:
+            metrics = os.path.join(td, "metrics.jsonl")
+            cfg = Config(argv=[
+                "--review_net_only", "True", "--batch_size", str(B),
+                "--train_epochs", str(epochs), "--eval_every", "1000000",
+                "--steps_per_dispatch", str(k_dispatch),
+                "--data_workers", str(workers),
+                "--device_dataset", device_dataset,
+                "--min_sent_count", "1", "--metrics_jsonl", metrics])
 
-        class _W2v:
-            embedding = np.random.default_rng(0).standard_normal(
-                (VOCAB, EMB)).astype(np.float32)
+            class _W2v:
+                embedding = np.random.default_rng(0).standard_normal(
+                    (VOCAB, EMB)).astype(np.float32)
 
-        t = Trainer(cfg, get_logger(logger_name="bench-through"), _W2v())
-        t.fit(train_ds, valid_ds, os.path.join(td, "model"))
-        ep = [json.loads(l) for l in open(metrics)]
-        ep = [r for r in ep if r["event"] == "epoch"]
-    if len(ep) < 2:
+            t = Trainer(cfg, get_logger(logger_name="bench-through"), _W2v())
+            t.fit(train_ds, valid_ds, os.path.join(td, "model"))
+            ep = [json.loads(l) for l in open(metrics)]
+            ep = [r for r in ep if r["event"] == "epoch"]
+        if len(ep) < 2:
+            return None
+        dt = ep[-1]["elapsed_s"] - ep[0]["elapsed_s"]  # steady-state epochs
+        return round((len(ep) - 1) * n / dt, 1)
+
+    default_sps = run("auto")
+    streaming_sps = run("off")
+    if default_sps is None:
         return None
-    dt = ep[-1]["elapsed_s"] - ep[0]["elapsed_s"]  # steady-state epochs
-    sps = (len(ep) - 1) * n / dt
-    return {"batch": B, "n_samples": n, "steady_epochs": len(ep) - 1,
+    return {"batch": B, "n_samples": n, "steady_epochs": epochs - 1,
             "steps_per_dispatch": k_dispatch, "data_workers": workers,
-            "samples_per_sec": round(sps, 1)}
+            "samples_per_sec": default_sps,
+            "streaming_samples_per_sec": streaming_sps}
 
 
 def _require_devices(timeout_s=600):

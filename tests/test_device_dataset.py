@@ -1,0 +1,168 @@
+"""Device-resident corpus mode (--device_dataset): bit-exact equivalence
+with the streaming loader path, order parity of the index stream, and the
+auto-gating rules.
+
+The mode exists because host->device batch transfer dominates real
+Trainer.fit wall on relay/network-attached hosts (BENCH_DETAILS.md
+"Through-trainer attribution"); correctness bar is exact equality --
+the gathered batches are the same int32/float32 values, so the jitted
+math must produce identical results."""
+
+import numpy as np
+import pytest
+
+from umpr_tpu.config import Config
+from umpr_tpu.data.dataset import UMPRDataset
+from umpr_tpu.data.loader import BatchLoader
+from umpr_tpu.train.trainer import Trainer
+from umpr_tpu.utils.logging import get_logger
+
+S, L, S_UI, VOCAB, EMB = 6, 7, 3, 200, 12
+
+
+def packed_dataset(n, seed=0):
+    rng = np.random.default_rng(seed)
+
+    def lengths(count_max, n_sent):
+        c = rng.integers(1, count_max + 1, n).astype(np.int32)
+        l = rng.integers(2, L + 1, (n, n_sent)).astype(np.int32)
+        l[np.arange(n_sent)[None, :] >= c[:, None]] = 1
+        return c, l
+
+    u_c, u_l = lengths(S, S)
+    i_c, i_l = lengths(S, S)
+    ui_c, ui_l = lengths(S_UI, S_UI)
+    return UMPRDataset(
+        u_tokens=rng.integers(3, VOCAB, (n, S, L)).astype(np.int32),
+        u_lengths=u_l, u_counts=u_c,
+        i_tokens=rng.integers(3, VOCAB, (n, S, L)).astype(np.int32),
+        i_lengths=i_l, i_counts=i_c,
+        ui_tokens=rng.integers(3, VOCAB, (n, S_UI, L)).astype(np.int32),
+        ui_lengths=ui_l, ui_counts=ui_c,
+        ratings=rng.uniform(1, 5, n).astype(np.float32),
+        photo_paths=np.full((n, 1, 1), "", dtype=np.str_),
+    )
+
+
+class _W2v:
+    embedding = np.random.default_rng(1).standard_normal(
+        (VOCAB, EMB)).astype(np.float32)
+
+
+def _mk_trainer(tmp_path, mode, k=2, epochs=2, metrics=None):
+    cfg = Config(argv=[
+        "--device", "cpu", "--multi_gpu", "False",
+        "--review_net_only", "True", "--batch_size", "8",
+        "--train_epochs", str(epochs), "--eval_every", "4",
+        "--steps_per_dispatch", str(k), "--learning_rate", "0.01",
+        "--min_sent_count", "1", "--seed", "2",
+        "--device_dataset", mode]
+        + (["--metrics_jsonl", metrics] if metrics else []))
+    return Trainer(cfg, get_logger(logger_name=f"devds-{mode}"), _W2v())
+
+
+def test_index_stream_matches_loader_order():
+    """_index_stream must reproduce the streaming loader's batch order and
+    dead-padding exactly (same RNG, same start_batch fast-forward)."""
+    ds = packed_dataset(52)
+    for (B, k, start, shuffle, seed) in [(8, 2, 0, True, 7), (8, 3, 2, True, 3),
+                                         (8, 1, 0, False, 0), (16, 2, 1, True, 5)]:
+        cfg = Config(argv=["--device", "cpu", "--multi_gpu", "False",
+                           "--review_net_only", "True",
+                           "--batch_size", str(B),
+                           "--steps_per_dispatch", str(k),
+                           "--eval_every", str(k * 500),
+                           "--min_sent_count", "1"])
+        t = Trainer.__new__(Trainer)  # order logic needs only config+k
+        t.config, t.k_dispatch = cfg, k
+        loader = BatchLoader(ds, B, shuffle=shuffle, ignore_photos=True,
+                             seed=seed, start_batch=start)
+        stream_batches = list(loader)
+        idx_batches = []
+        for kind, payload in t._index_stream(len(ds), seed, start,
+                                             shuffle=shuffle):
+            if kind == "rchunk":
+                idxs, n_reals = payload
+                idx_batches += [(idxs[j], int(n_reals[j]))
+                                for j in range(idxs.shape[0])]
+            else:
+                idx, n_real = payload
+                idx_batches.append((idx, int(n_real)))
+        assert len(stream_batches) == len(idx_batches)
+        for hb, (idx, n_real) in zip(stream_batches, idx_batches):
+            ref_rows = ds.u_tokens[idx]
+            assert np.array_equal(hb["u_tokens"], ref_rows)
+            assert np.array_equal(hb["sample_mask"],
+                                  (np.arange(len(idx)) < n_real).astype(np.float32))
+            # dead-padding parity: counts 0, lengths 1 past n_real
+            assert np.array_equal(hb["u_counts"][n_real:],
+                                  np.zeros(len(idx) - n_real, np.int32))
+            assert (hb["ui_lengths"][n_real:] == 1).all()
+
+
+@pytest.mark.slow
+def test_resident_fit_bit_exact_vs_streaming(tmp_path):
+    """Same data, same seed: --device_dataset on must produce EXACTLY the
+    params, metrics, and eval MSEs of the streaming path (incl. an epoch
+    whose batch count is not a multiple of steps_per_dispatch, so both
+    rchunk and rsingle dispatches run, and a dead-padded final batch)."""
+    import jax
+
+    train, valid = packed_dataset(52, seed=0), packed_dataset(12, seed=1)
+    results = {}
+    for mode in ("off", "on"):
+        metrics = str(tmp_path / f"m_{mode}.jsonl")
+        t = _mk_trainer(tmp_path, mode, k=2, epochs=2, metrics=metrics)
+        t.fit(train, valid, str(tmp_path / f"model_{mode}"))
+        results[mode] = (jax.tree.map(np.asarray, t.trainable),
+                         open(metrics).read())
+        if mode == "on":
+            assert t._resident, "resident mode should engage on 1 device"
+        else:
+            assert not t._resident
+
+    p_off, m_off = results["off"]
+    p_on, m_on = results["on"]
+    leaves_off = jax.tree.leaves(p_off)
+    leaves_on = jax.tree.leaves(p_on)
+    assert len(leaves_off) == len(leaves_on)
+    for a, b in zip(leaves_off, leaves_on):
+        np.testing.assert_array_equal(a, b)
+    # metrics lines identical up to timestamps/elapsed
+    import json
+    for la, lb in zip(m_off.splitlines(), m_on.splitlines()):
+        da, db = json.loads(la), json.loads(lb)
+        for d in (da, db):
+            d.pop("ts", None), d.pop("elapsed_s", None)
+        assert da == db
+
+
+def test_auto_gating(tmp_path):
+    """'auto' declines photos, oversized corpora, and multi-device meshes;
+    'on' falls back with a log line instead of crashing."""
+    train, valid = packed_dataset(20), packed_dataset(8)
+
+    t = _mk_trainer(tmp_path, "auto", k=1, epochs=1)
+    assert t._resident_mode(train, valid)
+
+    # size gate
+    t.config.device_dataset_mb = 0
+    assert not t._resident_mode(train, valid)
+    t.config.device_dataset_mb = 4096
+
+    # photos gate
+    t.config.review_net_only = False
+    assert not t._resident_mode(train, valid)
+    t.config.review_net_only = True
+
+    # multi-device gate (the default 8-virtual-device CPU mesh)
+    cfg = Config(argv=["--device", "cpu", "--review_net_only", "True",
+                       "--batch_size", "8", "--min_sent_count", "1",
+                       "--device_dataset", "on", "--eval_every", "500"])
+    t8 = Trainer(cfg, get_logger(logger_name="devds-8"), _W2v())
+    assert t8._n_dev > 1
+    assert not t8._resident_mode(train, valid)
+
+    # off gate
+    t.config.device_dataset = "off"
+    assert not t._resident_mode(train, valid)

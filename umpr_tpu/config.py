@@ -90,6 +90,21 @@ class Config:
                           # Must divide batch_size; update equals the
                           # single-step one up to fp summation order.
     data_workers = 0  # image-decode worker threads (0 = synchronous).
+    device_dataset = 'auto'  # keep the packed text corpus resident in HBM and
+                             # dispatch (k, B) index matrices instead of batch
+                             # arrays ('auto'/'on'/'off').  Kills the
+                             # host->device transfer that dominates real
+                             # Trainer.fit wall on relay/network-attached
+                             # hosts (measured: ~9 of 16.8 ms/step,
+                             # BENCH_DETAILS.md "Through-trainer").  'auto'
+                             # engages for review-only single-process
+                             # single-device runs whose packed arrays fit
+                             # device_dataset_mb; photos stay host-streamed
+                             # (decoded per batch).  Bit-exact vs streaming
+                             # (CI: tests/test_device_dataset.py).
+    device_dataset_mb = 4096  # 'auto' size gate for the resident corpus (the
+                              # Music-small packed arrays are ~230 MB; Yelp-8M
+                              # ~29 GB streams regardless).
     serve_coalesce_ms = 0  # HTTP serving: window (ms) during which concurrent
                            # /predict requests are merged into one device
                            # batch (0 = every request dispatches alone).

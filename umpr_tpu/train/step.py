@@ -154,6 +154,127 @@ def make_train_step_accum(dims, k, tx, donate=True):
     return jax.jit(train_step, donate_argnums=(0, 2) if donate else ())
 
 
+RESIDENT_FIELDS = ("u_tokens", "u_lengths", "u_counts",
+                   "i_tokens", "i_lengths", "i_counts",
+                   "ui_tokens", "ui_lengths", "ui_counts", "ratings")
+
+
+def gather_batch(data, idx, n_real):
+    """Assemble a loader-identical batch ON DEVICE from resident packed
+    arrays: fancy-index `idx` rows of every field, then apply exactly the
+    dead-sample padding the host loader applies to a final partial batch
+    (loader.py::_make_batch): sample_mask 0, counts 0, lengths 1, row 0 as
+    the harmless gather target.  Rows `arange(B) >= n_real` are dead.
+
+    This is the device-resident-corpus dispatch path: instead of shipping
+    ~250 KB of batch arrays per step through the host->device link (the
+    measured through-trainer bottleneck on relay-attached hosts -- see
+    BENCH_DETAILS.md "Through-trainer attribution"), the trainer ships a
+    (B,) int32 index vector and the gather runs at HBM bandwidth."""
+    B = idx.shape[0]
+    alive = jnp.arange(B) < n_real
+    idx = jnp.where(alive, idx, 0)
+    batch = {k: data[k][idx] for k in RESIDENT_FIELDS}
+    batch["sample_mask"] = alive.astype(jnp.float32)
+    for k in ("u_counts", "i_counts", "ui_counts"):
+        batch[k] = jnp.where(alive, batch[k], 0)
+    for k in ("u_lengths", "i_lengths", "ui_lengths"):
+        batch[k] = jnp.where(alive[:, None], batch[k], 1)
+    return batch
+
+
+def make_train_step_resident(dims, tx, donate=True):
+    """make_train_step over a device-resident dataset: the batch arrives as
+    (data, idx, n_real) and is gathered on device.  Bit-identical to the
+    streaming step on the same rows (tests/test_device_dataset.py)."""
+
+    def loss_fn(trainable, frozen, batch, dropout_rng):
+        params = merge_params(trainable, frozen)
+        pred, loss, aux = umpr_forward(params, batch, dims, train=True,
+                                       dropout_rng=dropout_rng)
+        return loss, (pred, aux)
+
+    def train_step(trainable, frozen, opt_state, data, idx, n_real, lr,
+                   dropout_rng):
+        batch = gather_batch(data, idx, n_real)
+        (loss, (pred, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, frozen, batch, dropout_rng)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        trainable = optax.apply_updates(trainable, updates)
+        aux["n_real"] = jnp.sum(batch["sample_mask"])
+        return trainable, opt_state, loss, aux
+
+    return jax.jit(train_step, donate_argnums=(0, 2) if donate else ())
+
+
+def make_multi_train_step_resident(dims, tx, donate=True):
+    """make_multi_train_step over a device-resident dataset: idxs (k, B)
+    and n_reals (k,) replace the stacked batch arrays; each scan step
+    gathers its batch from `data` on device.  The per-dispatch wire traffic
+    drops from ~k*250 KB to ~k*260 bytes."""
+
+    def loss_fn(trainable, frozen, batch, dropout_rng):
+        params = merge_params(trainable, frozen)
+        pred, loss, aux = umpr_forward(params, batch, dims, train=True,
+                                       dropout_rng=dropout_rng)
+        return loss, (pred, aux)
+
+    def multi_step(trainable, frozen, opt_state, data, idxs, n_reals, lr,
+                   dropout_rngs):
+        def body(carry, inp):
+            trainable, opt_state = carry
+            idx, n_real, rng = inp
+            batch = gather_batch(data, idx, n_real)
+            (loss, (pred, aux)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(trainable, frozen, batch, rng)
+            updates, opt_state = tx.update(grads, opt_state, trainable)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            trainable = optax.apply_updates(trainable, updates)
+            return (trainable, opt_state), (loss, jnp.sum(batch["sample_mask"]))
+
+        (trainable, opt_state), (losses, n_reals_out) = jax.lax.scan(
+            body, (trainable, opt_state), (idxs, n_reals, dropout_rngs))
+        return (trainable, opt_state, jnp.sum(losses * n_reals_out),
+                jnp.sum(n_reals_out))
+
+    return jax.jit(multi_step, donate_argnums=(0, 2) if donate else ())
+
+
+def make_eval_step_resident(dims):
+    def eval_step(trainable, frozen, data, idx, n_real):
+        batch = gather_batch(data, idx, n_real)
+        params = merge_params(trainable, frozen)
+        pred, _, _ = umpr_forward(params, batch, dims, train=False)
+        mask = batch["sample_mask"]
+        sq_err = jnp.sum(mask * (pred - batch["ratings"]) ** 2)
+        return sq_err, jnp.sum(mask)
+
+    return jax.jit(eval_step)
+
+
+def make_multi_eval_step_resident(dims):
+    """make_multi_eval_step over a device-resident dataset (idxs (k, B),
+    n_reals (k,)); per-batch (sq, n) pairs come back as (k,) vectors so
+    the host keeps the reference's per-batch summation order."""
+
+    def multi_eval(trainable, frozen, data, idxs, n_reals):
+        params = merge_params(trainable, frozen)
+
+        def body(_, inp):
+            idx, n_real = inp
+            batch = gather_batch(data, idx, n_real)
+            pred, _, _ = umpr_forward(params, batch, dims, train=False)
+            mask = batch["sample_mask"]
+            return None, (jnp.sum(mask * (pred - batch["ratings"]) ** 2),
+                          jnp.sum(mask))
+
+        _, (sqs, ns) = jax.lax.scan(body, None, (idxs, n_reals))
+        return sqs, ns
+
+    return jax.jit(multi_eval)
+
+
 def make_eval_step(dims):
     def eval_step(trainable, frozen, batch):
         params = merge_params(trainable, frozen)

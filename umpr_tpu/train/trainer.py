@@ -27,7 +27,11 @@ from umpr_tpu.train.optim import (make_optimizer, split_frozen, merge_params,
 from umpr_tpu.train.step import (make_train_step, make_multi_train_step,
                                  make_train_step_accum, make_eval_step,
                                  make_multi_eval_step, evaluate_mse,
-                                 mse_from_parts)
+                                 mse_from_parts, RESIDENT_FIELDS,
+                                 make_train_step_resident,
+                                 make_multi_train_step_resident,
+                                 make_eval_step_resident,
+                                 make_multi_eval_step_resident)
 
 
 class Trainer:
@@ -249,12 +253,124 @@ class Trainer:
         return tqdm(it, desc=desc, total=total, leave=False,
                     disable=not sys.stderr.isatty())
 
+    # ---- device-resident corpus mode (--device_dataset) ---------------
+    @staticmethod
+    def _dataset_nbytes(dataset):
+        return sum(getattr(dataset, f).nbytes for f in RESIDENT_FIELDS)
+
+    def _resident_mode(self, *datasets):
+        """Decide the device-resident corpus mode for this fit: ship the
+        packed text arrays to HBM once and dispatch (k, B) index matrices
+        instead of batch arrays.  Motivation + measurements:
+        BENCH_DETAILS.md "Through-trainer attribution" (host->device batch
+        transfer is ~9 of 16.8 ms/step on this relay-attached host)."""
+        cfg = self.config
+        mode = getattr(cfg, "device_dataset", "off")
+        if mode == "off":
+            return False
+        reasons = []
+        if not cfg.review_net_only:
+            reasons.append("photos are decoded per batch on the host")
+        if jax.process_count() > 1:
+            reasons.append("multi-host runs feed per-process row slices")
+        if self._n_dev > 1:
+            reasons.append("multi-device batches shard over the mesh")
+        if max(1, getattr(cfg, "grad_accum_steps", 1)) > 1:
+            reasons.append("grad_accum_steps uses the streaming micro-batch "
+                           "step")
+        total = sum(self._dataset_nbytes(d) for d in datasets)
+        if not reasons and mode == "auto" and \
+                total > (cfg.device_dataset_mb << 20):
+            reasons.append(f"packed arrays {total >> 20} MB exceed "
+                           f"device_dataset_mb={cfg.device_dataset_mb}")
+        if reasons:
+            if mode == "on":
+                self.logger.info("device_dataset=on not honored ("
+                                 + "; ".join(reasons) + "); streaming.")
+            return False
+        self.logger.info(f"Device-resident dataset mode: {total >> 20} MB "
+                         f"of packed arrays in HBM, index-only dispatch.")
+        return True
+
+    def _device_data(self, dataset):
+        """Upload (once) and return the dataset's packed arrays on device.
+        The cache holds a strong reference to the dataset so the id() key
+        cannot be recycled while its device copy is alive."""
+        if not hasattr(self, "_dev_data_cache"):
+            self._dev_data_cache = {}
+        key = id(dataset)
+        if key not in self._dev_data_cache:
+            arrs = {f: jax.device_put(
+                        np.ascontiguousarray(getattr(dataset, f)), self.rep)
+                    for f in RESIDENT_FIELDS}
+            self._dev_data_cache[key] = (dataset, arrs)
+        return self._dev_data_cache[key][1]
+
+    def _resident_steps(self):
+        if not hasattr(self, "_res_steps"):
+            mt = (make_multi_train_step_resident(self.dims, self.tx)
+                  if self.k_dispatch > 1 else None)
+            me = (make_multi_eval_step_resident(self.dims)
+                  if self.k_dispatch > 1 else None)
+            self._res_steps = (make_train_step_resident(self.dims, self.tx),
+                               make_eval_step_resident(self.dims), mt, me)
+        return self._res_steps
+
+    def _index_stream(self, n, seed, start_batch, shuffle=True):
+        """The resident-mode twin of BatchLoader + chunk_stream: yields
+        ("rchunk", (idxs (k,B) int32, n_reals (k,))) for full chunks and
+        ("rsingle", (idx (B,), n_real)) for remainders, over exactly the
+        batch order the streaming loader would produce (same RNG, same
+        start_batch fast-forward, same dead-padding row 0)."""
+        B, k = self.config.batch_size, self.k_dispatch
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        buf = []
+        for start in range(start_batch * B, n, B):
+            rows = order[start:start + B]
+            n_real = len(rows)
+            if n_real < B:
+                rows = np.concatenate(
+                    [rows, np.zeros(B - n_real, dtype=rows.dtype)])
+            buf.append((rows.astype(np.int32), n_real))
+            if k > 1 and len(buf) == k:
+                yield ("rchunk",
+                       (np.stack([r for r, _ in buf]),
+                        np.asarray([nr for _, nr in buf], np.int32)))
+                buf = []
+        for rows, n_real in buf:
+            yield ("rsingle", (rows, np.int32(n_real)))
+
+    def _evaluate_resident(self, dataset, trainable, frozen):
+        data = self._device_data(dataset)
+        step1, eval1, _mt, multi_eval = self._resident_steps()
+        parts = []
+        n_batches = (len(dataset) + self.config.batch_size - 1) \
+            // self.config.batch_size
+        for kind, payload in self._progress(
+                self._index_stream(len(dataset), 0, 0, shuffle=False),
+                "Evaluate", None if self.k_dispatch > 1 else n_batches):
+            if kind == "rchunk":
+                idxs, n_reals = payload
+                parts.append(multi_eval(trainable, frozen, data, idxs,
+                                        n_reals))
+            else:
+                idx, n_real = payload
+                parts.append(eval1(trainable, frozen, data, idx, n_real))
+        return mse_from_parts(parts)
+
     def _evaluate(self, loader, trainable=None, frozen=None):
         """MSE over `loader` with the live training params by default;
         test() passes restored best-checkpoint params through the SAME
         dispatch machinery (single or --steps_per_dispatch chunked)."""
         trainable = self.trainable if trainable is None else trainable
         frozen = self.frozen if frozen is None else frozen
+        # resident twin: datasets fit() uploaded evaluate via index-only
+        # dispatch; others (e.g. a test() split) stream as before
+        if getattr(self, "_resident", False) and \
+                id(loader.ds) in getattr(self, "_dev_data_cache", {}):
+            return self._evaluate_resident(loader.ds, trainable, frozen)
         if self.k_dispatch == 1:
             return evaluate_mse(self.eval_step, trainable, frozen,
                                 self._progress(self._device_batches(loader),
@@ -302,6 +418,13 @@ class Trainer:
         point so mid-epoch resume can be asserted bit-identical."""
         cfg, logger = self.config, self.logger
         logger.info("Start to train!")
+        # device-resident corpus mode: upload train+valid packed arrays to
+        # HBM once; every dispatch below then ships indices only
+        self._resident = self._resident_mode(train_data, valid_data)
+        dev_train = None
+        if self._resident:
+            dev_train = self._device_data(train_data)
+            self._device_data(valid_data)
         valid_loader = self._loader(valid_data)
         valid_mse = self._evaluate(valid_loader)
         logger.info(f"Initial validation mse is {valid_mse:.6f}")
@@ -318,9 +441,19 @@ class Trainer:
             epoch_offset = (self.start_batch_in_epoch
                             if epoch == self.start_epoch else 0)
             batch_in_epoch = epoch_offset
-            train_loader = self._loader(train_data, shuffle=True,
-                                        seed=cfg.seed + epoch,
-                                        start_batch=epoch_offset)
+            if self._resident:
+                # index-only twin of the loader/stream below: same seed,
+                # same order, same chunk grouping (bit-exact, CI-tested)
+                stream = self._index_stream(len(train_data),
+                                            cfg.seed + epoch, epoch_offset)
+                n_loader_batches = (len(train_data) + cfg.batch_size - 1) \
+                    // cfg.batch_size
+            else:
+                train_loader = self._loader(train_data, shuffle=True,
+                                            seed=cfg.seed + epoch,
+                                            start_batch=epoch_offset)
+                stream = self._dispatch_stream(train_loader)
+                n_loader_batches = len(train_loader)
             # Accumulate loss/sample counts as LAZY device scalars: reading
             # them every step would synchronize the dispatch pipeline (the
             # reference's loss.item() per batch, main.py:39); we only sync
@@ -388,11 +521,11 @@ class Trainer:
             # chunked dispatch yields one stream item per k batches (plus
             # remainder singles); tqdm's total must count items, not batches
             # (a mid-epoch resume skips epoch_offset batches)
-            n_batches = len(train_loader) - epoch_offset
+            n_batches = n_loader_batches - epoch_offset
             n_items = (n_batches // self.k_dispatch
                        + n_batches % self.k_dispatch)
             stop_now = False
-            for item in self._progress(self._dispatch_stream(train_loader),
+            for item in self._progress(stream,
                                        f"Training epoch {epoch}", n_items):
                 if (cfg.profile_dir and not profiled and not started_profile
                         and self.batch_counter >= 2):
@@ -409,6 +542,26 @@ class Trainer:
                     total_loss = total_loss + loss_sum
                     total_samples = total_samples + n_sum
                     after_steps(k)
+                elif kind == "rchunk":
+                    idxs, n_reals = payload
+                    rngs = self._fold_chunk(self._base_rng, self.batch_counter)
+                    _t, _e, multi_res, _me = self._resident_steps()
+                    self.trainable, self.opt_state, loss_sum, n_sum = multi_res(
+                        self.trainable, self.frozen, self.opt_state, dev_train,
+                        idxs, n_reals, lr, rngs)
+                    total_loss = total_loss + loss_sum
+                    total_samples = total_samples + n_sum
+                    after_steps(self.k_dispatch)
+                elif kind == "rsingle":
+                    idx, n_real = payload
+                    rng = self._fold1(self._base_rng, self.batch_counter)
+                    step_res, _e, _mt, _me = self._resident_steps()
+                    self.trainable, self.opt_state, loss, aux = step_res(
+                        self.trainable, self.frozen, self.opt_state, dev_train,
+                        idx, n_real, lr, rng)
+                    total_loss = total_loss + loss * aux["n_real"]
+                    total_samples = total_samples + aux["n_real"]
+                    after_steps(1)
                 else:
                     batch = payload
                     rng = self._fold1(self._base_rng, self.batch_counter)
