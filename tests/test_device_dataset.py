@@ -137,6 +137,65 @@ def test_resident_fit_bit_exact_vs_streaming(tmp_path):
         assert da == db
 
 
+def _photo_dataset(n, photo_dir, seed=0, V=1, P=1):
+    """Packed dataset whose samples reference real (tiny) JPEGs, plus one
+    missing path and some '' padding -- the decode-failure/zero-fill
+    parity cases."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    ds = packed_dataset(n, seed=seed)
+    paths = np.full((n, V, P), "", dtype="<U128")
+    files = []
+    for j in range(4):
+        p = str(photo_dir / f"p{j}.jpg")
+        cv2.imwrite(p, rng.integers(0, 255, (40, 50, 3)).astype(np.uint8))
+        files.append(p)
+    for i in range(n):
+        if i % 5 == 4:
+            continue  # '' photos (zero-filled by both paths)
+        if i % 7 == 6:
+            paths[i, 0, 0] = str(photo_dir / "missing.jpg")  # decode failure
+        else:
+            paths[i, 0, 0] = files[i % len(files)]
+    return UMPRDataset(**{f: getattr(ds, f) for f in
+                          ("u_tokens", "u_lengths", "u_counts", "i_tokens",
+                           "i_lengths", "i_counts", "ui_tokens", "ui_lengths",
+                           "ui_counts", "ratings")},
+                       photo_paths=paths)
+
+
+@pytest.mark.slow
+def test_resident_full_umpr_with_photo_bank_bit_exact(tmp_path):
+    """Full multi-modal UMPR: the resident photo bank (distinct photos in
+    HBM, per-sample bank rows gathered on device) must reproduce the
+    streaming loader's decoded batches exactly -- including '' photos,
+    decode failures (zeros), and dead-sample rows."""
+    import jax
+
+    train = _photo_dataset(12, tmp_path, seed=3)
+    valid = _photo_dataset(6, tmp_path, seed=4)
+    results = {}
+    for mode in ("off", "on"):
+        cfg = Config(argv=[
+            "--device", "cpu", "--multi_gpu", "False",
+            "--review_net_only", "False", "--photo_size", "32",
+            "--views", "['unknown']", "--photo_count", "1",
+            "--batch_size", "4", "--train_epochs", "1", "--eval_every", "2",
+            "--steps_per_dispatch", "2", "--learning_rate", "0.01",
+            "--min_sent_count", "1", "--seed", "2",
+            "--device_dataset", mode])
+        t = Trainer(cfg, get_logger(logger_name=f"devph-{mode}"), _W2v())
+        t.fit(train, valid, str(tmp_path / f"model_{mode}"))
+        if mode == "on":
+            assert t._resident and t._bank_uniq is not None
+            assert t._bank_uniq[0] == ""
+        results[mode] = jax.tree.map(np.asarray, t.trainable)
+    for a, b in zip(jax.tree.leaves(results["off"]),
+                    jax.tree.leaves(results["on"])):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_auto_gating(tmp_path):
     """'auto' declines photos, oversized corpora, and multi-device meshes;
     'on' falls back with a log line instead of crashing."""
@@ -150,9 +209,15 @@ def test_auto_gating(tmp_path):
     assert not t._resident_mode(train, valid)
     t.config.device_dataset_mb = 4096
 
-    # photos gate
+    # photo configs are residable when the distinct-photo bank also fits
+    # the budget ('' paths only -> a 1-row zero bank here) ...
     t.config.review_net_only = False
+    assert t._resident_mode(train, valid)
+    assert t._bank_uniq is not None and t._bank_uniq[0] == ""
+    # ... and decline when bank + arrays exceed the budget
+    t.config.device_dataset_mb = 0
     assert not t._resident_mode(train, valid)
+    t.config.device_dataset_mb = 4096
     t.config.review_net_only = True
 
     # multi-device gate (the default 8-virtual-device CPU mesh)

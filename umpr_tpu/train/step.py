@@ -180,6 +180,13 @@ def gather_batch(data, idx, n_real):
         batch[k] = jnp.where(alive, batch[k], 0)
     for k in ("u_lengths", "i_lengths", "ui_lengths"):
         batch[k] = jnp.where(alive[:, None], batch[k], 1)
+    if "photo_bank" in data:
+        # resident photos: per-sample bank rows -> (B, V, P, H, W, 3) uint8.
+        # Bank row 0 is all-zeros, exactly what the streaming loader ships
+        # for '' paths, decode failures, and dead samples (paths[dead]='').
+        rows = data["photo_idx"][idx]
+        rows = jnp.where(alive[:, None, None], rows, 0)
+        batch["photos"] = data["photo_bank"][rows]
     return batch
 
 

@@ -266,11 +266,10 @@ class Trainer:
         transfer is ~9 of 16.8 ms/step on this relay-attached host)."""
         cfg = self.config
         mode = getattr(cfg, "device_dataset", "off")
+        self._bank_uniq = None
         if mode == "off":
             return False
         reasons = []
-        if not cfg.review_net_only:
-            reasons.append("photos are decoded per batch on the host")
         if jax.process_count() > 1:
             reasons.append("multi-host runs feed per-process row slices")
         if self._n_dev > 1:
@@ -283,19 +282,47 @@ class Trainer:
                 total > (cfg.device_dataset_mb << 20):
             reasons.append(f"packed arrays {total >> 20} MB exceed "
                            f"device_dataset_mb={cfg.device_dataset_mb}")
+        bank_note = ""
+        if not reasons and not cfg.review_net_only:
+            # photo configs: resident only when a bank of every distinct
+            # decoded photo ALSO fits the budget (uint8, row 0 = zeros) --
+            # the text-size gate above runs first so huge corpora never pay
+            # this unique() pass
+            uniq = np.unique(np.concatenate(
+                [d.photo_paths.ravel() for d in datasets]))
+            if uniq.size == 0 or uniq[0] != "":
+                uniq = np.concatenate([np.array([""], dtype=uniq.dtype),
+                                       uniq])
+            bank_bytes = uniq.size * cfg.photo_size * cfg.photo_size * 3
+            idx_bytes = sum(d.photo_paths.size * 4 for d in datasets)
+            total += bank_bytes + idx_bytes
+            if mode == "auto" and total > (cfg.device_dataset_mb << 20):
+                reasons.append(
+                    f"packed arrays + {uniq.size - 1}-photo bank = "
+                    f"{total >> 20} MB exceed "
+                    f"device_dataset_mb={cfg.device_dataset_mb}")
+            else:
+                self._bank_uniq = uniq
+                bank_note = (f" (incl. a {uniq.size - 1}-photo "
+                             f"{bank_bytes >> 20} MB bank)")
         if reasons:
             if mode == "on":
                 self.logger.info("device_dataset=on not honored ("
                                  + "; ".join(reasons) + "); streaming.")
             return False
         self.logger.info(f"Device-resident dataset mode: {total >> 20} MB "
-                         f"of packed arrays in HBM, index-only dispatch.")
+                         f"of packed arrays in HBM{bank_note}, "
+                         f"index-only dispatch.")
         return True
 
     def _device_data(self, dataset):
         """Upload (once) and return the dataset's packed arrays on device.
         The cache holds a strong reference to the dataset so the id() key
-        cannot be recycled while its device copy is alive."""
+        cannot be recycled while its device copy is alive.  When
+        _resident_mode approved a photo bank (self._bank_uniq), the arrays
+        include the shared bank plus this dataset's (n, V, P) bank-row
+        indices (np.searchsorted is exact: the bank rows are the sorted
+        unique paths with '' pinned to row 0)."""
         if not hasattr(self, "_dev_data_cache"):
             self._dev_data_cache = {}
         key = id(dataset)
@@ -303,8 +330,37 @@ class Trainer:
             arrs = {f: jax.device_put(
                         np.ascontiguousarray(getattr(dataset, f)), self.rep)
                     for f in RESIDENT_FIELDS}
+            if getattr(self, "_bank_uniq", None) is not None:
+                arrs["photo_bank"] = self._photo_bank_dev()
+                pidx = np.searchsorted(
+                    self._bank_uniq, dataset.photo_paths).astype(np.int32)
+                arrs["photo_idx"] = jax.device_put(pidx, self.rep)
             self._dev_data_cache[key] = (dataset, arrs)
         return self._dev_data_cache[key][1]
+
+    def _photo_bank_dev(self):
+        """Decode every distinct photo once (same decode + zero-fill
+        machinery the streaming loader uses, so failures and '' rows are
+        byte-identical) and upload the (C, H, W, 3) uint8 bank."""
+        if getattr(self, "_bank_dev", None) is None:
+            from umpr_tpu.data.images import load_photo_batch
+            cfg = self.config
+            uniq = self._bank_uniq
+            imgs = load_photo_batch(uniq.reshape(-1, 1, 1),
+                                    (cfg.photo_size, cfg.photo_size),
+                                    self._loader_executor(),
+                                    getattr(self, "_photo_cache", None))
+            self._bank_dev = jax.device_put(imgs[:, 0, 0], self.rep)
+        return self._bank_dev
+
+    def _loader_executor(self):
+        from concurrent.futures import ThreadPoolExecutor
+        w = self.config.data_workers
+        if w <= 0:
+            return None
+        if not hasattr(self, "_bank_executor"):
+            self._bank_executor = ThreadPoolExecutor(max_workers=w)
+        return self._bank_executor
 
     def _resident_steps(self):
         if not hasattr(self, "_res_steps"):
