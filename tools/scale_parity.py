@@ -71,6 +71,15 @@ if args.side == "ref" or args.cpu:
     # a time on this host); init_umpr's threefry draws are bit-identical
     # across platforms, so params0 still matches the ours-side run
     jax.config.update("jax_platforms", "cpu")
+else:
+    # TPU matmuls default to bf16 inputs; a cross-framework trajectory
+    # comparison needs f32 (the tools/dynamics_parity.py --tpu
+    # convention).  UMPR-R tolerates the default (round-3 65k run:
+    # 0.016% final agreement) but full-UMPR's 20-conv VGG tower
+    # accumulates bf16 rounding into a visibly different trajectory
+    # (measured: epoch-0 valid 0.8483 default vs 0.8704 torch-f32 on
+    # the yp5k corpus).
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 import ast
 
