@@ -510,14 +510,26 @@ class Trainer:
                                             start_batch=epoch_offset)
                 stream = self._dispatch_stream(train_loader)
                 n_loader_batches = len(train_loader)
-            # Accumulate loss/sample counts as LAZY device scalars: reading
-            # them every step would synchronize the dispatch pipeline (the
-            # reference's loss.item() per batch, main.py:39); we only sync
-            # at logging points.
-            total_loss, total_samples = 0.0, 0.0
+            # Accumulate per-dispatch (loss_sum, n) device scalars in a HOST
+            # list and reduce them in ONE jitted stack-sum only at logging
+            # points.  Reading per step would synchronize the pipeline (the
+            # reference's loss.item(), main.py:39); but even LAZY chained
+            # device adds cost two extra dispatches per chunk, measured at
+            # 3.2 ms/step on this relay (BENCH_DETAILS.md "Through-trainer"
+            # -- bare resident loop 2.5 ms/step, +chained-adds 5.7).
+            # Appending is free; the deferred tree-sum differs from a
+            # sequential fold only in f32 rounding of a LOGGING value.
+            total_parts = []
+
+            def totals():
+                if not total_parts:
+                    return 0.0, 0.0
+                ls = jnp.stack([p[0] for p in total_parts])
+                ns = jnp.stack([p[1] for p in total_parts])
+                return float(jnp.sum(ls)), float(jnp.sum(ns))
 
             def after_steps(n_steps):
-                nonlocal total_loss, total_samples, profiled, batch_in_epoch
+                nonlocal profiled, batch_in_epoch
                 nonlocal batches_this_call
                 before = self.batch_counter
                 self.batch_counter += n_steps
@@ -538,7 +550,8 @@ class Trainer:
                 # remainders can misalign the counter from multiples of k
                 if self.batch_counter // cfg.eval_every > before // cfg.eval_every:
                     valid_mse = self._evaluate(valid_loader)
-                    train_loss = float(total_loss) / float(total_samples)
+                    t_loss, t_n = totals()
+                    train_loss = t_loss / t_n
                     logger.info(f"\rEpoch {epoch:2d}; batch {self.batch_counter:5d}; "
                                 f"train loss {train_loss:.6f}; "
                                 f"valid mse {valid_mse:.6f}")
@@ -595,8 +608,7 @@ class Trainer:
                     self.trainable, self.opt_state, loss_sum, n_sum = self.multi_step(
                         self.trainable, self.frozen, self.opt_state, batches,
                         lr, rngs)
-                    total_loss = total_loss + loss_sum
-                    total_samples = total_samples + n_sum
+                    total_parts.append((loss_sum, n_sum))
                     after_steps(k)
                 elif kind == "rchunk":
                     idxs, n_reals = payload
@@ -605,8 +617,7 @@ class Trainer:
                     self.trainable, self.opt_state, loss_sum, n_sum = multi_res(
                         self.trainable, self.frozen, self.opt_state, dev_train,
                         idxs, n_reals, lr, rngs)
-                    total_loss = total_loss + loss_sum
-                    total_samples = total_samples + n_sum
+                    total_parts.append((loss_sum, n_sum))
                     after_steps(self.k_dispatch)
                 elif kind == "rsingle":
                     idx, n_real = payload
@@ -615,8 +626,7 @@ class Trainer:
                     self.trainable, self.opt_state, loss, aux = step_res(
                         self.trainable, self.frozen, self.opt_state, dev_train,
                         idx, n_real, lr, rng)
-                    total_loss = total_loss + loss * aux["n_real"]
-                    total_samples = total_samples + aux["n_real"]
+                    total_parts.append((loss * aux["n_real"], aux["n_real"]))
                     after_steps(1)
                 else:
                     batch = payload
@@ -624,8 +634,7 @@ class Trainer:
                     self.trainable, self.opt_state, loss, aux = self.train_step(
                         self.trainable, self.frozen, self.opt_state, batch,
                         lr, rng)
-                    total_loss = total_loss + loss * aux["n_real"]
-                    total_samples = total_samples + aux["n_real"]
+                    total_parts.append((loss * aux["n_real"], aux["n_real"]))
                     after_steps(1)
                 if (_stop_after_batches
                         and batches_this_call >= _stop_after_batches):
@@ -646,10 +655,11 @@ class Trainer:
                     pass
                 profiled = True
 
+            t_loss, t_n = totals()
             logger.info(f"Epoch {epoch:3d} done; train loss "
-                        f"{float(total_loss) / max(float(total_samples), 1.0):.6f}")
+                        f"{t_loss / max(t_n, 1.0):.6f}")
             self._metric("epoch", epoch=epoch, batch=self.batch_counter,
-                         train_loss=float(total_loss) / max(float(total_samples), 1.0),
+                         train_loss=t_loss / max(t_n, 1.0),
                          lr=lr, elapsed_s=round(time.perf_counter() - start_time, 3))
             if multihost.is_primary():
                 ckpt.save_last(model_path, self.trainable, self.opt_state,
