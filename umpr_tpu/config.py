@@ -75,6 +75,15 @@ class Config:
                             # the global batch counter, not loop state).
                             # Each save writes full params + opt state --
                             # pick a cadence that amortizes that host cost.
+    save_last_every_epochs = 1  # epoch-boundary last/-checkpoint cadence
+                                # (1 = every epoch, the prior behavior; N
+                                # saves on epochs N-1, 2N-1, ... and always
+                                # on the final epoch).  The write is full
+                                # params + opt state (~0.7 s on this host)
+                                # -- at small epoch sizes it dominates the
+                                # epoch wall (BENCH_DETAILS "Through-
+                                # trainer"), so short-epoch jobs can trade
+                                # resume granularity for throughput.
     steps_per_dispatch = 1  # train steps per jit dispatch (lax.scan over stacked
                             # batches); amortizes per-dispatch host latency.
                             # Bit-exact vs k=1 (CI-tested).  Must divide

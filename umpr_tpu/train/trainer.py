@@ -661,12 +661,20 @@ class Trainer:
             self._metric("epoch", epoch=epoch, batch=self.batch_counter,
                          train_loss=t_loss / max(t_n, 1.0),
                          lr=lr, elapsed_s=round(time.perf_counter() - start_time, 3))
-            if multihost.is_primary():
-                ckpt.save_last(model_path, self.trainable, self.opt_state,
-                               backend=cfg.checkpoint_backend,
-                               epoch=epoch + 1, batch_counter=self.batch_counter,
-                               best_loss=self.best_loss, batch_in_epoch=0)
-            multihost.barrier(f"save_last_{epoch}")
+            # --save_last_every_epochs N thins the epoch-boundary
+            # durability write (full params + opt state, ~0.7 s on this
+            # host -- it dominates short-epoch walls); the final epoch
+            # always saves so fit() ends resumable-from-the-end
+            every = max(1, getattr(cfg, "save_last_every_epochs", 1))
+            if (epoch + 1) % every == 0 or epoch + 1 == cfg.train_epochs \
+                    or self.batch_counter > cfg.max_batches:
+                if multihost.is_primary():
+                    ckpt.save_last(model_path, self.trainable, self.opt_state,
+                                   backend=cfg.checkpoint_backend,
+                                   epoch=epoch + 1,
+                                   batch_counter=self.batch_counter,
+                                   best_loss=self.best_loss, batch_in_epoch=0)
+                multihost.barrier(f"save_last_{epoch}")
             if self.batch_counter > cfg.max_batches:
                 break
 
