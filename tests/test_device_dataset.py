@@ -137,6 +137,34 @@ def test_resident_fit_bit_exact_vs_streaming(tmp_path):
         assert da == db
 
 
+@pytest.mark.slow
+def test_resident_fit_multi_device_matches_streaming(tmp_path):
+    """On the default 8-virtual-device mesh the resident mode replicates
+    the data arrays and shards the (k, B) index matrices over 'dp'
+    (Trainer._place_idx) -- the gathered batch lands in the same
+    dp-sharded layout put_global produces, so the fit must stay exactly
+    equal to the streaming path on the same mesh."""
+    import jax
+
+    train, valid = packed_dataset(52, seed=0), packed_dataset(12, seed=1)
+    results = {}
+    for mode in ("off", "on"):
+        cfg = Config(argv=[
+            "--device", "cpu", "--review_net_only", "True",
+            "--batch_size", "8", "--train_epochs", "2", "--eval_every", "4",
+            "--steps_per_dispatch", "2", "--learning_rate", "0.01",
+            "--min_sent_count", "1", "--seed", "2",
+            "--device_dataset", mode])
+        t = Trainer(cfg, get_logger(logger_name=f"devmd-{mode}"), _W2v())
+        assert t._n_dev == 8
+        t.fit(train, valid, str(tmp_path / f"mdl_{mode}"))
+        assert t._resident == (mode == "on")
+        results[mode] = jax.tree.map(np.asarray, t.trainable)
+    for a, b in zip(jax.tree.leaves(results["off"]),
+                    jax.tree.leaves(results["on"])):
+        np.testing.assert_array_equal(a, b)
+
+
 def _photo_dataset(n, photo_dir, seed=0, V=1, P=1):
     """Packed dataset whose samples reference real (tiny) JPEGs, plus one
     missing path and some '' padding -- the decode-failure/zero-fill
@@ -220,13 +248,14 @@ def test_auto_gating(tmp_path):
     t.config.device_dataset_mb = 4096
     t.config.review_net_only = True
 
-    # multi-device gate (the default 8-virtual-device CPU mesh)
+    # multi-device single-process meshes ARE residable: the data arrays
+    # replicate and the per-dispatch index matrices shard over 'dp'
     cfg = Config(argv=["--device", "cpu", "--review_net_only", "True",
                        "--batch_size", "8", "--min_sent_count", "1",
                        "--device_dataset", "on", "--eval_every", "500"])
     t8 = Trainer(cfg, get_logger(logger_name="devds-8"), _W2v())
     assert t8._n_dev > 1
-    assert not t8._resident_mode(train, valid)
+    assert t8._resident_mode(train, valid)
 
     # off gate
     t.config.device_dataset = "off"

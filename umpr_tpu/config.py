@@ -106,11 +106,13 @@ class Config:
                              # Trainer.fit wall on relay/network-attached
                              # hosts (measured: ~9 of 16.8 ms/step,
                              # BENCH_DETAILS.md "Through-trainer").  'auto'
-                             # engages for review-only single-process
-                             # single-device runs whose packed arrays fit
-                             # device_dataset_mb; photos stay host-streamed
-                             # (decoded per batch).  Bit-exact vs streaming
-                             # (CI: tests/test_device_dataset.py).
+                             # engages for single-process runs whose packed
+                             # arrays (plus, for photo configs, a
+                             # distinct-photo uint8 bank) fit
+                             # device_dataset_mb; on multi-device meshes the
+                             # arrays replicate and the index matrices shard
+                             # over dp.  Bit-exact vs streaming, 1-dev and
+                             # 8-dev (CI: tests/test_device_dataset.py).
     device_dataset_mb = 4096  # 'auto' size gate for the resident corpus (the
                               # Music-small packed arrays are ~230 MB; Yelp-8M
                               # ~29 GB streams regardless).

@@ -272,8 +272,6 @@ class Trainer:
         reasons = []
         if jax.process_count() > 1:
             reasons.append("multi-host runs feed per-process row slices")
-        if self._n_dev > 1:
-            reasons.append("multi-device batches shard over the mesh")
         if max(1, getattr(cfg, "grad_accum_steps", 1)) > 1:
             reasons.append("grad_accum_steps uses the streaming micro-batch "
                            "step")
@@ -362,6 +360,18 @@ class Trainer:
             self._bank_executor = ThreadPoolExecutor(max_workers=w)
         return self._bank_executor
 
+    def _place_idx(self, arr, stacked):
+        """Shard a resident-dispatch index matrix over the mesh's batch
+        axis (rows of idx == rows of the gathered batch), so GSPMD
+        partitions the on-device gather and the batch lands in exactly
+        the dp-sharded layout the streaming put_global path produces.
+        The resident data arrays themselves are replicated (self.rep)."""
+        if self._n_dev == 1:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P(None, "dp") if stacked else P("dp")
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
     def _resident_steps(self):
         if not hasattr(self, "_res_steps"):
             mt = (make_multi_train_step_resident(self.dims, self.tx)
@@ -409,11 +419,12 @@ class Trainer:
                 "Evaluate", None if self.k_dispatch > 1 else n_batches):
             if kind == "rchunk":
                 idxs, n_reals = payload
-                parts.append(multi_eval(trainable, frozen, data, idxs,
-                                        n_reals))
+                parts.append(multi_eval(trainable, frozen, data,
+                                        self._place_idx(idxs, True), n_reals))
             else:
                 idx, n_real = payload
-                parts.append(eval1(trainable, frozen, data, idx, n_real))
+                parts.append(eval1(trainable, frozen, data,
+                                   self._place_idx(idx, False), n_real))
         return mse_from_parts(parts)
 
     def _evaluate(self, loader, trainable=None, frozen=None):
@@ -616,7 +627,7 @@ class Trainer:
                     _t, _e, multi_res, _me = self._resident_steps()
                     self.trainable, self.opt_state, loss_sum, n_sum = multi_res(
                         self.trainable, self.frozen, self.opt_state, dev_train,
-                        idxs, n_reals, lr, rngs)
+                        self._place_idx(idxs, True), n_reals, lr, rngs)
                     total_parts.append((loss_sum, n_sum))
                     after_steps(self.k_dispatch)
                 elif kind == "rsingle":
@@ -625,7 +636,7 @@ class Trainer:
                     step_res, _e, _mt, _me = self._resident_steps()
                     self.trainable, self.opt_state, loss, aux = step_res(
                         self.trainable, self.frozen, self.opt_state, dev_train,
-                        idx, n_real, lr, rng)
+                        self._place_idx(idx, False), n_real, lr, rng)
                     total_parts.append((loss * aux["n_real"], aux["n_real"]))
                     after_steps(1)
                 else:
