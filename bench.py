@@ -319,16 +319,28 @@ REVIEW_TP_B = 512  # UMPR-R throughput mode: B=64 is latency-bound (~2.5 ms
                    # kernels fed and amortizes per-dispatch host latency
 
 
-def bench_serving(batch_np, B, compute_dtype="bfloat16", iters=50):
+def bench_serving(batch_np, B, compute_dtype="bfloat16", iters=50,
+                  use_pallas=None):
     """Eval-only (serving) throughput: the no-grad predict path on the
-    composite attention (the production serving path, BENCH_DETAILS.md)."""
+    composite attention (the production serving path, BENCH_DETAILS.md).
+
+    use_pallas=None measures the PRODUCTION serving configuration (the
+    Pallas GRU kernel on TPU, exactly what serve.py's Predictor builds
+    from config.use_pallas=True).  Rounds 1-4 accidentally measured the
+    scan-GRU path here (ModelDims' False default, unlike bench_tpu which
+    always passed use_pallas=on_tpu); main() still records that path as
+    "scan_samples_per_sec" for round-over-round continuity.  The round-5
+    serving-regression bisect (VERDICT r4 #2) is in BENCH_DETAILS.md."""
     import jax
     import jax.numpy as jnp
     from umpr_tpu.models.umpr import ModelDims, init_umpr
     from umpr_tpu.train.optim import split_frozen
     from umpr_tpu.train.step import make_eval_step
 
-    dims = ModelDims(review_net_only=True, compute_dtype=compute_dtype)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    dims = ModelDims(review_net_only=True, compute_dtype=compute_dtype,
+                     use_pallas=use_pallas)
     rng = np.random.default_rng(0)
     params = init_umpr(jax.random.PRNGKey(0), dims,
                        rng.standard_normal((VOCAB, EMB)).astype(np.float32))
@@ -339,13 +351,13 @@ def bench_serving(batch_np, B, compute_dtype="bfloat16", iters=50):
     sq, n = eval_step(trainable, frozen, batch)
     float(sq)  # compile + warm
     best = 0.0
-    for _ in range(2):
+    for _ in range(4):  # best-of-4: the drift-discipline floor (VERDICT r4 #8)
         t0 = time.perf_counter()
         for _ in range(iters):
             sq, n = eval_step(trainable, frozen, batch)
         float(sq)
         best = max(best, B * iters / (time.perf_counter() - t0))
-    return {"batch": B, "dtype": compute_dtype,
+    return {"batch": B, "dtype": compute_dtype, "use_pallas": use_pallas,
             "samples_per_sec": round(best, 1)}
 
 
@@ -496,6 +508,12 @@ def main():
         try:
             serving = bench_serving(make_batch(np.random.default_rng(42),
                                                REVIEW_TP_B), REVIEW_TP_B)
+            # the rounds-1..4 protocol (scan GRU -- see bench_serving's
+            # docstring), kept as a sub-field for cross-round continuity
+            scan = bench_serving(make_batch(np.random.default_rng(42),
+                                            REVIEW_TP_B), REVIEW_TP_B,
+                                 use_pallas=False)
+            serving["scan_samples_per_sec"] = scan["samples_per_sec"]
         except Exception as e:
             print(f"serving bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from umpr_tpu.models.layers import init_linear, randn
 from umpr_tpu.ops.attention import affinity_attention
-from umpr_tpu.ops.gru import init_bigru, bigru_split
+from umpr_tpu.ops.gru import init_bigru, bigru, bigru_split
 from umpr_tpu.ops.masking import masked_softmax
 
 
@@ -130,12 +130,64 @@ def init_review_net(key, emb_size, gru_size, atte_size):
     }
 
 
+def _review_net_eval_scan(p, both_emb, u_lengths, i_lengths, exists):
+    """Eval-graph structure for the scan-GRU path: one bigru launch whose
+    output is sliced into per-half position layouts FIRST, with S-Net
+    consuming reshapes of those same slices, and two plain snet() calls.
+
+    Mathematically identical to review_net's paired structure.  In a
+    no-grad graph this shape compiles ~18% faster on the scan path
+    (B=512 bf16 serving: 81.7k vs 69.2k samples/s): bigru_split's two
+    reshape chains of the same GRU output and snet_pair's grouped
+    (2, B*S, L, .) einsums each fuse worse than the slice-reuse form
+    when there is no backward pass to amortize them against (the
+    round-5 serving-regression bisect, BENCH_DETAILS.md).  The paired
+    structure exists for the TRAIN backward (dsent pad-and-add churn)
+    and for the Pallas repack-kernel layouts, where it also wins at
+    eval (104.6k vs 95.3k) -- review_net routes on exactly that."""
+    B2, S, L, E = both_emb.shape
+    B = B2 // 2
+    # The slice + re-concat looks redundant against umpr_forward's
+    # upstream concat, but XLA CANCELS the pair back to the two bare
+    # embedding gathers, whereas reshaping the concatenated (2B, S, L, E)
+    # directly materializes it first (measured: 81.7k vs 75.7k samples/s
+    # at B=512 bf16 -- keep the cancellable form).
+    user_emb, item_emb = both_emb[:B], both_emb[B:]
+    both = jnp.concatenate([user_emb.reshape(B * S, L, E),
+                            item_emb.reshape(B * S, L, E)], axis=0)
+    both_len = jnp.concatenate([u_lengths.reshape(-1), i_lengths.reshape(-1)])
+    gru_ui = bigru(p["rnet"]["gru"], both, both_len, use_pallas=False)
+    gru_u = gru_ui[:B * S].reshape(B, S * L, -1)
+    gru_i = gru_ui[B * S:].reshape(B, S * L, -1)
+    soft_u, soft_i, atte_u, atte_i = affinity_attention(
+        gru_u, gru_i, p["rnet"]["M"], exists.reshape(S * L), False)
+    t_exists = exists[0]
+    _, sent_u = snet(p["snet_u"], gru_u.reshape(B * S, L, -1), soft_u, S,
+                     t_exists)
+    _, sent_i = snet(p["snet_i"], gru_i.reshape(B * S, L, -1), soft_i, S,
+                     t_exists)
+    repr_u = jnp.concatenate([atte_u, sent_u], axis=-1)  # eq. 7
+    repr_i = jnp.concatenate([atte_i, sent_i], axis=-1)
+    return jnp.tanh(repr_u @ p["linear_u"]["kernel"]
+                    + repr_i @ p["linear_i"]["kernel"])  # eq. 8
+
+
 def review_net(p, both_emb, u_lengths, i_lengths, exists,
-               use_pallas=False, attention_pallas=None):
+               use_pallas=False, attention_pallas=None, train=True):
     """Full review network (reference model.py:157-169, eq. 7-8).
 
     both_emb: (2B, S, L, E) user histories stacked over item histories.
-    Returns (B, 2u) textual-matching representation."""
+    Returns (B, 2u) textual-matching representation.
+
+    train (static) routes between two mathematically identical graph
+    structures: the paired/split-layout form (snet_pair + bigru_split)
+    wins for the train backward and on the Pallas repack-kernel path;
+    no-grad eval on the scan path compiles faster as the round-2
+    slice-reuse form (see _review_net_eval_scan)."""
+    kernel_gru = use_pallas and p["rnet"]["gru"]["fwd"]["w_hh"].shape[0] % 64 == 0
+    if not train and not kernel_gru:
+        return _review_net_eval_scan(p, both_emb, u_lengths, i_lengths,
+                                     exists)
     B2, S, L, _ = both_emb.shape
     B = B2 // 2
     gru_u, gru_i, y_sent, soft_u, soft_i, atte_u, atte_i = rnet(

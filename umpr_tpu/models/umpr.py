@@ -149,19 +149,30 @@ def umpr_forward(params, batch, dims: ModelDims, train=False, dropout_rng=None):
             params)
 
     emb = params["embedding"]
-    # ONE gather for user+item histories: concatenating the (tiny, int32)
-    # token ids instead of the (B, S, L, E) embeddings saves a full-tensor
-    # float concat per step (u and i flow through shared-weight networks
-    # stacked on the batch axis everywhere downstream)
-    both_tok = jnp.concatenate([u_tok, i_tok], axis=0)   # (2B, S, L)
-    both_emb = emb[both_tok]                             # (2B, S, L, E)
+    eval_scan = (not train) and not (dims.use_pallas
+                                     and dims.gru_size % 64 == 0)
+    if not eval_scan:
+        # ONE gather for user+item histories: concatenating the (tiny,
+        # int32) token ids instead of the (B, S, L, E) embeddings saves a
+        # full-tensor float concat per step (u and i flow through
+        # shared-weight networks stacked on the batch axis downstream)
+        both_tok = jnp.concatenate([u_tok, i_tok], axis=0)  # (2B, S, L)
+        both_emb = emb[both_tok]                            # (2B, S, L, E)
+    else:
+        # No-grad eval on the scan-GRU path: the fused (2B, S, L) gather
+        # compiles WORSE there than two gathers + a float concat (B=512
+        # bf16 serving: 75.0k vs 81.0k samples/s -- the round-5
+        # serving-regression bisect, BENCH_DETAILS.md); the layout is
+        # identical either way.  review_net routes to the matching
+        # slice-reuse eval structure on the same condition.
+        both_emb = jnp.concatenate([emb[u_tok], emb[i_tok]], axis=0)
     ui_emb = emb[ui_tok]   # (B, S_ui, L, E)
 
     # One attention path on merit for train AND eval: the composite XLA
     # attention is measured faster than the fused kernel at every supported
     # shape (umpr_tpu/ops/attention.py); use_pallas governs the GRU kernel.
     rn = review_net(params["review_net"], both_emb, u_len, i_len, exists,
-                    dims.use_pallas)  # (B, 2u)
+                    dims.use_pallas, train=train)  # (B, 2u)
 
     if dims.review_net_only:
         prediction = jax.nn.relu(linear(params["linear_fusion"], rn))[:, 0]
