@@ -122,11 +122,11 @@ def bench_tpu_chunked(batch_np, B=B, k=10, steps=STEPS,
     eval_step = make_eval_step(dims)
     batches = {k_: jnp.asarray(np.broadcast_to(v, (k,) + v.shape).copy())
                for k_, v in batch_np.items()}
-    rngs = jax.random.split(jax.random.PRNGKey(0), k)
+    key = jax.random.PRNGKey(0)
     batch1 = {k_: jnp.asarray(v) for k_, v in batch_np.items()}
 
     trainable, opt_state, loss, _ = mstep(trainable, frozen, opt_state,
-                                          batches, 1e-6, rngs)
+                                          batches, 1e-6, key, np.uint32(0))
     float(loss)
     sq, n = eval_step(trainable, frozen, batch1)
     float(sq)
@@ -136,7 +136,8 @@ def bench_tpu_chunked(batch_np, B=B, k=10, steps=STEPS,
         t0 = time.perf_counter()
         for _ in range(steps // k):
             trainable, opt_state, loss, _ = mstep(trainable, frozen,
-                                                  opt_state, batches, 1e-6, rngs)
+                                                  opt_state, batches, 1e-6,
+                                                  key, np.uint32(0))
         for _ in range(eval_batches):
             sq, n = eval_step(trainable, frozen, batch1)
         float(loss) + float(sq)
@@ -361,12 +362,20 @@ def bench_serving(batch_np, B, compute_dtype="bfloat16", iters=50,
             "samples_per_sec": round(best, 1)}
 
 
-def synthetic_packed_dataset(n, rng, B_=B):
+def synthetic_packed_dataset(n, rng, B_=B, n_photos=0):
     """A packed UMPR-R dataset at Music-small shapes (S=20, L=20, S_ui=5)
     with realistic length/count spreads -- the input to a REAL Trainer.fit,
     exercising everything the device-loop benches skip: loader
     fancy-indexing, host->device transfer, prefetch, dispatch cadence,
-    logging."""
+    logging.
+
+    n_photos > 0 assigns each sample one of n_photos distinct (fake)
+    photo paths, so the full-model trainer builds a realistic-size
+    resident photo bank with RANDOM per-batch row gathers.  The paths
+    do not exist on disk; the decode machinery's failure path yields
+    zero images on both the streaming loader and the bank build --
+    byte-identical, and irrelevant to timing (gather/conv cost does not
+    depend on pixel content)."""
     from umpr_tpu.data.dataset import UMPRDataset
 
     def lengths(count_max, n_sent):
@@ -381,6 +390,12 @@ def synthetic_packed_dataset(n, rng, B_=B):
     ui_c = rng.integers(1, S_UI + 1, n).astype(np.int32)
     ui_l = rng.integers(3, L + 1, (n, S_UI)).astype(np.int32)
     ui_l[np.arange(S_UI)[None, :] >= ui_c[:, None]] = 1
+    if n_photos:
+        paths = np.array([f"/nonexistent-bench/p{i}.jpg"
+                          for i in rng.integers(0, n_photos, n)],
+                         dtype=np.str_).reshape(n, 1, 1)
+    else:
+        paths = np.full((n, 1, 1), "", dtype=np.str_)
     return UMPRDataset(
         u_tokens=rng.integers(3, VOCAB, (n, S, L)).astype(np.int32),
         u_lengths=u_l, u_counts=u_c,
@@ -389,7 +404,7 @@ def synthetic_packed_dataset(n, rng, B_=B):
         ui_tokens=rng.integers(3, VOCAB, (n, S_UI, L)).astype(np.int32),
         ui_lengths=ui_l, ui_counts=ui_c,
         ratings=rng.uniform(1, 5, n).astype(np.float32),
-        photo_paths=np.full((n, 1, 1), "", dtype=np.str_),
+        photo_paths=paths,
     )
 
 
@@ -425,6 +440,11 @@ def bench_through_trainer(n=16384, epochs=3, k_dispatch=10, workers=2):
                 "--steps_per_dispatch", str(k_dispatch),
                 "--data_workers", str(workers),
                 "--device_dataset", device_dataset,
+                # thin the per-epoch durability write: at 256-batch bench
+                # epochs the ~0.75 s save_last dominates the wall and the
+                # bench would measure the checkpoint, not the loop (the
+                # final epoch still saves; VERDICT r4 #3)
+                "--save_last_every_epochs", str(epochs + 1),
                 "--min_sent_count", "1", "--metrics_jsonl", metrics])
 
             class _W2v:
@@ -438,16 +458,81 @@ def bench_through_trainer(n=16384, epochs=3, k_dispatch=10, workers=2):
         if len(ep) < 2:
             return None
         dt = ep[-1]["elapsed_s"] - ep[0]["elapsed_s"]  # steady-state epochs
-        return round((len(ep) - 1) * n / dt, 1)
+        # (rate, measured steady-epoch count): report what the timing
+        # actually covered, not the configured epochs-1 (ADVICE r4 #4)
+        return round((len(ep) - 1) * n / dt, 1), len(ep) - 1
 
     default_sps = run("auto")
     streaming_sps = run("off")
     if default_sps is None:
         return None
-    return {"batch": B, "n_samples": n, "steady_epochs": epochs - 1,
+    return {"batch": B, "n_samples": n, "steady_epochs": default_sps[1],
             "steps_per_dispatch": k_dispatch, "data_workers": workers,
-            "samples_per_sec": default_sps,
-            "streaming_samples_per_sec": streaming_sps}
+            "samples_per_sec": default_sps[0],
+            "streaming_samples_per_sec":
+                streaming_sps[0] if streaming_sps else None}
+
+
+def bench_full_through_trainer(n=16384, epochs=3, k_dispatch=10, workers=2,
+                               n_photos=2000):
+    """Wall-clock samples/sec of the REAL training loop for the FLAGSHIP
+    configuration: full multi-modal UMPR (224px photos, VGG16, bf16)
+    through Trainer.fit -- the number a user's `python main.py` full-model
+    run delivers at steady state, next to the device-loop `full_umpr`
+    entry (VERDICT r4 #1: the flagship config had no wall-clock number).
+
+    Epochs are 256 steps (>= 200, so per-epoch constants amortize), the
+    corpus + a ~300 MB 2000-photo resident bank live in HBM
+    (--device_dataset auto), the epoch-boundary durability write is
+    thinned (--save_last_every_epochs; the final epoch still saves), and
+    checkpoint writes overlap the loop (--async_checkpoint).  Steady-state
+    epochs only (epoch 0 pays compile).  No streaming twin here: at 224px
+    a streamed epoch ships ~2.4 GB of photos through the relay's
+    host->device wire -- the attribution one-off lives in
+    BENCH_DETAILS.md, not in every driver run."""
+    import tempfile
+
+    from umpr_tpu.config import Config
+    from umpr_tpu.train.trainer import Trainer
+    from umpr_tpu.utils.logging import get_logger
+
+    rng = np.random.default_rng(9)
+    train_ds = synthetic_packed_dataset(n, rng, n_photos=n_photos)
+    valid_ds = synthetic_packed_dataset(4 * B, rng, n_photos=n_photos)
+
+    with tempfile.TemporaryDirectory() as td:
+        metrics = os.path.join(td, "metrics.jsonl")
+        cfg = Config(argv=[
+            "--review_net_only", "False", "--views", "['unknown']",
+            "--photo_size", str(FULL_IMG), "--photo_count", "1",
+            "--compute_dtype", "bfloat16",
+            "--adam_moment_dtype", "bfloat16",
+            "--batch_size", str(B),
+            "--train_epochs", str(epochs), "--eval_every", "1000000",
+            "--steps_per_dispatch", str(k_dispatch),
+            "--data_workers", str(workers),
+            "--device_dataset", "auto",
+            "--save_last_every_epochs", str(epochs + 1),
+            "--min_sent_count", "1", "--metrics_jsonl", metrics])
+
+        class _W2v:
+            embedding = np.random.default_rng(0).standard_normal(
+                (VOCAB, EMB)).astype(np.float32)
+
+        t = Trainer(cfg, get_logger(logger_name="bench-full-through"),
+                    _W2v())
+        t.fit(train_ds, valid_ds, os.path.join(td, "model"))
+        ep = [json.loads(l) for l in open(metrics)]
+        ep = [r for r in ep if r["event"] == "epoch"]
+    if len(ep) < 2:
+        return None
+    dt = ep[-1]["elapsed_s"] - ep[0]["elapsed_s"]
+    sps = (len(ep) - 1) * n / dt
+    return {"batch": B, "n_samples": n, "img": FULL_IMG,
+            "photo_bank": n_photos, "steady_epochs": len(ep) - 1,
+            "steps_per_dispatch": k_dispatch,
+            "samples_per_sec": round(sps, 1),
+            "ms_per_step": round(B / sps * 1e3, 2)}
 
 
 def _require_devices(timeout_s=600):
@@ -523,7 +608,7 @@ def main():
             print(f"through-trainer bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
-    full = full_b128 = full_serving = None
+    full = full_b128 = full_serving = full_through = None
     if os.environ.get("UMPR_BENCH_SKIP_FULL") != "1":
         try:
             full = bench_tpu_full(make_full_batch(np.random.default_rng(3),
@@ -531,6 +616,11 @@ def main():
         except Exception as e:
             print(f"full-UMPR bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
+        try:
+            full_through = bench_full_through_trainer()
+        except Exception as e:
+            print(f"full-UMPR through-trainer bench failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
         try:
             full_serving = bench_serving_full(
                 make_full_batch(np.random.default_rng(3), FULL_B), FULL_B)
@@ -571,6 +661,7 @@ def main():
         "through_trainer": through,
         "serving_mode": serving,
         "full_umpr": full,
+        "full_umpr_through_trainer": full_through,
         "full_umpr_throughput_mode": full_b128,
         "full_umpr_serving": full_serving,
     }))

@@ -260,3 +260,37 @@ def test_auto_gating(tmp_path):
     # off gate
     t.config.device_dataset = "off"
     assert not t._resident_mode(train, valid)
+
+
+def test_second_fit_rebuilds_photo_bank(tmp_path):
+    """A second fit() on the same Trainer with DIFFERENT photo datasets
+    must rebuild the resident photo bank and device-array cache: round 4
+    cached both forever, so the new datasets' photo_idx silently gathered
+    from the stale bank (ADVICE r4 #2).  Equivalence oracle: the same two
+    fits through the streaming path."""
+    import jax
+
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    results = {}
+    for mode in ("off", "on"):
+        cfg = Config(argv=[
+            "--device", "cpu", "--multi_gpu", "False",
+            "--review_net_only", "False", "--photo_size", "32",
+            "--views", "['unknown']", "--photo_count", "1",
+            "--batch_size", "4", "--train_epochs", "1", "--eval_every", "1000",
+            "--learning_rate", "0.01", "--min_sent_count", "1", "--seed", "2",
+            "--device_dataset", mode])
+        t = Trainer(cfg, get_logger(logger_name=f"refit-{mode}"), _W2v())
+        t.fit(_photo_dataset(8, d1, seed=3), _photo_dataset(4, d1, seed=4),
+              str(tmp_path / f"m1_{mode}"))
+        # second corpus: photo files with DIFFERENT content and more rows
+        t.fit(_photo_dataset(8, d2, seed=11), _photo_dataset(4, d2, seed=12),
+              str(tmp_path / f"m2_{mode}"))
+        if mode == "on":
+            assert t._resident
+        results[mode] = jax.tree.map(np.asarray, t.trainable)
+    for a, b in zip(jax.tree.leaves(results["off"]),
+                    jax.tree.leaves(results["on"])):
+        np.testing.assert_array_equal(a, b)

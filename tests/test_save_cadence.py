@@ -55,3 +55,37 @@ def test_save_cadence_thins_epoch_saves(tmp_path):
 
     calls9, path9 = _fit(tmp_path, 9)
     assert calls9 == [5]  # only the always-save final epoch
+
+
+def test_async_checkpoint_equals_sync(tmp_path):
+    """--async_checkpoint overlaps the device->host transfer + write with
+    the step loop via an on-device snapshot; the files it leaves must be
+    IDENTICAL to the synchronous writer's (same values at the same save
+    points -- the snapshot is taken before the next step donates the live
+    buffers)."""
+    import jax
+    from umpr_tpu.train import checkpoint as ckpt
+
+    outs = {}
+    for mode in ("True", "False"):
+        cfg = Config(argv=[
+            "--device", "cpu", "--multi_gpu", "False",
+            "--review_net_only", "True", "--batch_size", "8",
+            "--train_epochs", "3", "--eval_every", "2",
+            "--learning_rate", "0.01",
+            "--min_sent_count", "1", "--seed", "2",
+            "--async_checkpoint", mode])
+        t = Trainer(cfg, get_logger(logger_name=f"async{mode}"), _W2v())
+        path = str(tmp_path / f"m_async{mode}")
+        t.fit(packed_dataset(24), packed_dataset(8), path)
+        assert (t._saver is not None) == (mode == "True")
+        like_best = t._checkpoint_params()
+        outs[mode] = (ckpt.restore_best(path, like_best),
+                      ckpt.restore_last(path, t.trainable, t.opt_state)[:2],
+                      json.load(open(os.path.join(path, "last", "meta.json"))))
+    best_a, last_a, meta_a = outs["True"]
+    best_s, last_s, meta_s = outs["False"]
+    assert meta_a == meta_s
+    for a, b in zip(jax.tree.leaves((best_a, last_a)),
+                    jax.tree.leaves((best_s, last_s))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -101,12 +101,23 @@ def main():
     d_ms = (time.perf_counter() - t0) / n_chunks / args.k * 1e3
     print(f"D rng fold dispatch           : {d_ms:6.2f} ms/step", flush=True)
 
-    # E: the full real loop (same code path bench.py records)
+    # E: the full real loop (same code path bench.py records).  Stages
+    # A-D time the STREAMING pipeline's costs, so the residue must use
+    # the streaming fit wall -- the device-resident default ships indices
+    # instead and would make the subtraction cross two code paths
+    # (ADVICE r4 #1); guard the None return of a too-short run.
     e = bench.bench_through_trainer(n=args.n, epochs=3, k_dispatch=args.k,
                                     workers=2)
-    e_ms = args.batch / e["samples_per_sec"] * 1e3
-    print(f"E Trainer.fit wall            : {e_ms:6.2f} ms/step "
+    if e is None or not e.get("streaming_samples_per_sec"):
+        print("E Trainer.fit wall            : unavailable (run too short "
+              "for steady-state epochs)", flush=True)
+        return
+    print(f"E fit wall, resident default  : "
+          f"{args.batch / e['samples_per_sec'] * 1e3:6.2f} ms/step "
           f"({e['samples_per_sec']:.0f} samples/s)", flush=True)
+    e_ms = args.batch / e["streaming_samples_per_sec"] * 1e3
+    print(f"E fit wall, streaming         : {e_ms:6.2f} ms/step "
+          f"({e['streaming_samples_per_sec']:.0f} samples/s)", flush=True)
     print(f"   device-loop reference       : see bench.py chunked "
           f"(~{64 / 26000 * 1e3:.2f} ms/step)")
     print(f"   unattributed residue E-C-D-dev: "

@@ -173,6 +173,13 @@ class Config:
     checkpoint_backend = "npz"  # 'npz' (path-keyed arrays, no deps) | 'orbax'
                                 # (standard JAX checkpoint library; interop with
                                 # the wider ecosystem). Restore auto-detects.
+    async_checkpoint = True  # overlap checkpoint writes with training: the
+                             # trainer snapshots the params with an on-device
+                             # copy (~ms) and a worker thread does the
+                             # device->host transfer + write (~0.7 s for full
+                             # UMPR) off the step loop.  Single-host only
+                             # (multi-host keeps synchronous saves: its
+                             # durability barriers must see the file).
     coordinator_address = ""  # multi-host: coordinator "host:port". Empty = single-host,
                               # unless a TPU-pod launcher already set JAX_COORDINATOR_ADDRESS.
     num_processes = 0  # multi-host: total process count (0 = single-host / pod auto-detect).

@@ -52,7 +52,15 @@ def make_multi_train_step(dims, tx, donate=True):
 
     Only FULL chunks may be dispatched: a dead batch would still apply the
     weight-decay part of the update.  The trainer handles remainders with
-    the single-step path."""
+    the single-step path.
+
+    Dropout rngs are derived IN-GRAPH from (base_rng, start): per-step
+    key j is fold_in(base_rng, start + j) -- bit-identical to the eager
+    _fold_chunk derivation the trainer used through round 4, but one
+    fewer device dispatch per chunk (measured 0.34 ms/step on the relay,
+    BENCH_DETAILS.md "Through-trainer").  `start` must arrive as a
+    uint32 ARRAY (np.uint32(batch_counter)): a Python int would bake
+    into the trace and recompile every chunk."""
 
     def loss_fn(trainable, frozen, batch, dropout_rng):
         params = merge_params(trainable, frozen)
@@ -60,7 +68,13 @@ def make_multi_train_step(dims, tx, donate=True):
                                        dropout_rng=dropout_rng)
         return loss, (pred, aux)
 
-    def multi_step(trainable, frozen, opt_state, batches, lr, dropout_rngs):
+    def multi_step(trainable, frozen, opt_state, batches, lr, base_rng,
+                   start):
+        k = jax.tree.leaves(batches)[0].shape[0]
+        offs = start + jnp.arange(k, dtype=jnp.uint32)
+        dropout_rngs = jax.vmap(
+            lambda j: jax.random.fold_in(base_rng, j))(offs)
+
         def body(carry, inp):
             trainable, opt_state = carry
             batch, rng = inp
@@ -228,7 +242,12 @@ def make_multi_train_step_resident(dims, tx, donate=True):
         return loss, (pred, aux)
 
     def multi_step(trainable, frozen, opt_state, data, idxs, n_reals, lr,
-                   dropout_rngs):
+                   base_rng, start):
+        k = idxs.shape[0]
+        offs = start + jnp.arange(k, dtype=jnp.uint32)
+        dropout_rngs = jax.vmap(
+            lambda j: jax.random.fold_in(base_rng, j))(offs)
+
         def body(carry, inp):
             trainable, opt_state = carry
             idx, n_real, rng = inp

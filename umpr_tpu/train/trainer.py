@@ -103,9 +103,9 @@ class Trainer:
         self._fold1 = jax.jit(jax.random.fold_in)
         self.k_dispatch = max(1, config.steps_per_dispatch)
         if self.k_dispatch > 1:
-            offs = jnp.arange(self.k_dispatch, dtype=jnp.uint32)
-            self._fold_chunk = jax.jit(lambda key, start: jax.vmap(
-                lambda j: jax.random.fold_in(key, j))(start + offs))
+            # chunk rng derivation lives INSIDE multi_step since round 5
+            # (base_rng + uint32 start args): one fewer device dispatch
+            # per chunk, bit-identical fold_in values (step.py docstring)
             assert config.eval_every % self.k_dispatch == 0, (
                 "steps_per_dispatch must divide eval_every (keeps the "
                 "per-500-batch eval cadence exact)")
@@ -119,6 +119,12 @@ class Trainer:
         self.start_epoch = 0
         self.start_batch_in_epoch = 0
         self.best_loss = 100.0
+        # async checkpoint writes (--async_checkpoint): single-host only --
+        # the multi-host save paths barrier on durability, which a
+        # background write would make a lie
+        self._saver = (ckpt.AsyncSaver()
+                       if getattr(config, "async_checkpoint", True)
+                       and jax.process_count() == 1 else None)
         if config.resume_path:
             if jax.process_count() > 1:
                 # Only the primary reads the checkpoint (hosts need not
@@ -197,6 +203,42 @@ class Trainer:
         transfer on every save."""
         frozen = {"embedding": self._host_embedding[: self._vocab_rows]}
         return merge_params(self.trainable, frozen)
+
+    # ---- checkpoint writes (sync or --async_checkpoint overlap) --------
+    def _ckpt_wait(self):
+        """Join any in-flight background checkpoint write.  Every READER
+        of checkpoint files (test(), fit-end has_best, the _stop_after
+        test hook's return) must pass through here first."""
+        if self._saver is not None:
+            self._saver.wait()
+
+    def _save_best(self, model_path):
+        if self._saver is None:
+            ckpt.save_best(model_path, self._checkpoint_params(),
+                           self.config.checkpoint_backend)
+            return
+        # snapshot the live device params (the next step donates them);
+        # the worker thread pays the device->host transfer + write
+        snap = ckpt.snapshot(self.trainable)
+        frozen = {"embedding": self._host_embedding[: self._vocab_rows]}
+        backend = self.config.checkpoint_backend
+        self._saver.submit(
+            lambda: ckpt.save_best(model_path,
+                                   merge_params(jax.device_get(snap), frozen),
+                                   backend))
+
+    def _save_last(self, model_path, **meta):
+        if self._saver is None:
+            ckpt.save_last(model_path, self.trainable, self.opt_state,
+                           backend=self.config.checkpoint_backend, **meta)
+            return
+        snap = ckpt.snapshot({"t": self.trainable, "o": self.opt_state})
+        backend = self.config.checkpoint_backend
+        self._saver.submit(
+            lambda: ckpt.save_last(model_path,
+                                   *(lambda s: (s["t"], s["o"]))(
+                                       jax.device_get(snap)),
+                                   backend=backend, **meta))
 
     def _loader(self, dataset, shuffle=False, seed=0, start_batch=0):
         cfg = self.config
@@ -485,6 +527,12 @@ class Trainer:
         point so mid-epoch resume can be asserted bit-identical."""
         cfg, logger = self.config, self.logger
         logger.info("Start to train!")
+        # A second fit() on the same Trainer may bring different datasets:
+        # drop any previous fit's device-resident arrays and photo bank so
+        # a fresh _bank_uniq cannot index into a stale bank (and so the
+        # old datasets' HBM copies are released).  (ADVICE r4 #2.)
+        self._bank_dev = None
+        self._dev_data_cache = {}
         # device-resident corpus mode: upload train+valid packed arrays to
         # HBM once; every dispatch below then ships indices only
         self._resident = self._resident_mode(train_data, valid_data)
@@ -533,11 +581,17 @@ class Trainer:
             total_parts = []
 
             def totals():
+                """Stack-sum the parts accumulated since the last logging
+                point, then COMPACT the list to the single summed pair:
+                unbounded growth would both re-reduce O(n^2) scalars over
+                the epoch and compile a fresh stack shape at every logging
+                point (~12.5k dispatches per Yelp-8M epoch; ADVICE r4 #3)."""
                 if not total_parts:
                     return 0.0, 0.0
-                ls = jnp.stack([p[0] for p in total_parts])
-                ns = jnp.stack([p[1] for p in total_parts])
-                return float(jnp.sum(ls)), float(jnp.sum(ns))
+                ls = jnp.sum(jnp.stack([p[0] for p in total_parts]))
+                ns = jnp.sum(jnp.stack([p[1] for p in total_parts]))
+                total_parts[:] = [(ls, ns)]
+                return float(ls), float(ns)
 
             def after_steps(n_steps):
                 nonlocal profiled, batch_in_epoch
@@ -572,8 +626,7 @@ class Trainer:
                                      time.perf_counter() - start_time, 3))
                     if self.best_loss > valid_mse:
                         if multihost.is_primary():  # one writer per run
-                            ckpt.save_best(model_path, self._checkpoint_params(),
-                                           cfg.checkpoint_backend)
+                            self._save_best(model_path)
                         # every process tracks best_loss from the same
                         # (collective) valid_mse, so all reach this barrier;
                         # it makes the write durable before any host can
@@ -587,13 +640,10 @@ class Trainer:
                         self.batch_counter // cfg.save_every_batches
                         > before // cfg.save_every_batches):
                     if multihost.is_primary():
-                        ckpt.save_last(model_path, self.trainable,
-                                       self.opt_state,
-                                       backend=cfg.checkpoint_backend,
-                                       epoch=epoch,
-                                       batch_counter=self.batch_counter,
-                                       best_loss=self.best_loss,
-                                       batch_in_epoch=batch_in_epoch)
+                        self._save_last(model_path, epoch=epoch,
+                                        batch_counter=self.batch_counter,
+                                        best_loss=self.best_loss,
+                                        batch_in_epoch=batch_in_epoch)
                     multihost.barrier(f"save_mid_{self.batch_counter}")
 
             started_profile = False
@@ -615,19 +665,18 @@ class Trainer:
                 kind, payload = item
                 if kind == "chunk":
                     batches, k = payload
-                    rngs = self._fold_chunk(self._base_rng, self.batch_counter)
                     self.trainable, self.opt_state, loss_sum, n_sum = self.multi_step(
                         self.trainable, self.frozen, self.opt_state, batches,
-                        lr, rngs)
+                        lr, self._base_rng, np.uint32(self.batch_counter))
                     total_parts.append((loss_sum, n_sum))
                     after_steps(k)
                 elif kind == "rchunk":
                     idxs, n_reals = payload
-                    rngs = self._fold_chunk(self._base_rng, self.batch_counter)
                     _t, _e, multi_res, _me = self._resident_steps()
                     self.trainable, self.opt_state, loss_sum, n_sum = multi_res(
                         self.trainable, self.frozen, self.opt_state, dev_train,
-                        self._place_idx(idxs, True), n_reals, lr, rngs)
+                        self._place_idx(idxs, True), n_reals, lr,
+                        self._base_rng, np.uint32(self.batch_counter))
                     total_parts.append((loss_sum, n_sum))
                     after_steps(self.k_dispatch)
                 elif kind == "rsingle":
@@ -655,7 +704,11 @@ class Trainer:
             if stop_now:
                 # simulated interruption (test hook): leave exactly as a
                 # crash would -- whatever checkpoints exist, no epoch-end
-                # bookkeeping
+                # bookkeeping.  (The join is not part of the simulation:
+                # a real crash loses at most the in-flight write, which
+                # the atomic swap already makes safe; the tests that use
+                # this hook READ the files next.)
+                self._ckpt_wait()
                 return
 
             if started_profile and not profiled:
@@ -680,11 +733,9 @@ class Trainer:
             if (epoch + 1) % every == 0 or epoch + 1 == cfg.train_epochs \
                     or self.batch_counter > cfg.max_batches:
                 if multihost.is_primary():
-                    ckpt.save_last(model_path, self.trainable, self.opt_state,
-                                   backend=cfg.checkpoint_backend,
-                                   epoch=epoch + 1,
-                                   batch_counter=self.batch_counter,
-                                   best_loss=self.best_loss, batch_in_epoch=0)
+                    self._save_last(model_path, epoch=epoch + 1,
+                                    batch_counter=self.batch_counter,
+                                    best_loss=self.best_loss, batch_in_epoch=0)
                 multihost.barrier(f"save_last_{epoch}")
             if self.batch_counter > cfg.max_batches:
                 break
@@ -694,6 +745,7 @@ class Trainer:
         # --test_only run) still needs one.  Evaluate once at end of
         # training and save it.  Primary decides (non-primary hosts may not
         # share its filesystem); the eval itself is collective.
+        self._ckpt_wait()  # has_best below READS what a background save writes
         need_best = "1" if (multihost.is_primary()
                             and not ckpt.has_best(model_path)) else "0"
         if multihost.broadcast_str(need_best) == "1":
@@ -707,6 +759,7 @@ class Trainer:
             multihost.barrier("save_best_final")
             self.best_loss = min(self.best_loss, valid_mse)
 
+        self._ckpt_wait()  # fit() returns only with durable checkpoints
         second = int(time.perf_counter() - start_time)
         logger.info(f"End of training! Time used {second // 3600}:{second % 3600 // 60}:{second % 60}.")
 
@@ -714,6 +767,7 @@ class Trainer:
     def test(self, test_data, model_path):
         logger = self.logger
         logger.info("Start to test.")
+        self._ckpt_wait()  # restore_best reads what a background save writes
         like = self._checkpoint_params()
         if jax.process_count() > 1:
             # primary-only read + broadcast: non-primary hosts may not share
