@@ -279,20 +279,23 @@ def restore_last(root, like_trainable, like_opt_state):
 
 
 class AsyncSaver:
-    """Overlap checkpoint writes with training (single-host).
+    """Overlap checkpoint DISK WRITES with training (single-host).
 
-    A save's wall cost is (device->host transfer) + (disk write) -- ~0.7 s
-    for full-UMPR params on this host -- and the trainer used to pay it
-    inline at every epoch boundary / save-best point.  The trainer instead
-    snapshots the live device arrays with a jitted on-device copy (~ms at
-    HBM bandwidth; REQUIRED, because the next train step donates the live
-    buffers, which would invalidate them under a background device_get)
-    and hands the transfer + write to this single worker thread.
+    A save's wall cost is (device->host transfer) + (serialize/write).
+    The trainer pays the transfer inline on the main thread -- safe by
+    ordering, since the next train step's donation of the live buffers
+    has not been dispatched yet -- and hands only the host-side
+    serialization + write to this worker thread.  (A first design
+    snapshotted with a jitted on-device copy and moved the transfer to
+    the thread too; on this machine's remote-compile relay the trivial
+    copy jit compiled for MINUTES and concurrent background transfers
+    stalled the step loop -- measured 74 s at one save epoch.  Host
+    numpy work races nothing and needs no compile.)
 
     One save in flight at a time: submit() joins the previous save first,
-    so writes keep their order and at most one snapshot's HBM is held.
-    Failures surface on the join (next submit() or wait()); callers that
-    READ checkpoints (test(), fit-end has_best, resume) must wait() first.
+    so writes keep their order.  Failures surface on the join (next
+    submit() or wait()); callers that READ checkpoints (test(), fit-end
+    has_best, resume) must wait() first.
     """
 
     def __init__(self):
@@ -311,23 +314,3 @@ class AsyncSaver:
         if self._pending is not None:
             p, self._pending = self._pending, None
             p.result()  # re-raises a failed save
-
-
-_device_copy = None
-
-
-def snapshot(tree):
-    """On-device copy of a pytree of jax arrays: a stable set of buffers a
-    background save can device_get after the originals are donated away.
-    Host (numpy) leaves pass through untouched -- they are not donated."""
-    global _device_copy
-    if _device_copy is None:
-        _device_copy = jax.jit(
-            lambda t: jax.tree.map(jax.numpy.copy, t))
-    is_dev = lambda x: isinstance(x, jax.Array)
-    dev = {i: x for i, x in enumerate(jax.tree.leaves(tree)) if is_dev(x)}
-    copies = _device_copy(list(dev.values())) if dev else []
-    copies = dict(zip(dev.keys(), copies))
-    leaves = [copies.get(i, x) for i, x in enumerate(jax.tree.leaves(tree))]
-    return jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(tree), leaves)

@@ -346,6 +346,11 @@ def mse_from_parts(parts):
     reduction: evaluate_mse and the trainer's chunked-dispatch eval both
     route through it, so the semantics (incl. nan on an empty split —
     surface it, don't report 0) cannot fork between configurations."""
+    parts = list(parts)
+    # one bulk device->host fetch instead of a readback round trip per
+    # part: on relay-attached hosts each np.asarray costs an RTT, which
+    # dominated the eval wall at the 500-batch protocol cadence
+    parts = jax.device_get(parts)
     total, count = 0.0, 0.0
     for sq, n in parts:
         for s, c in zip(np.asarray(sq).ravel(), np.asarray(n).ravel()):

@@ -217,14 +217,14 @@ class Trainer:
             ckpt.save_best(model_path, self._checkpoint_params(),
                            self.config.checkpoint_backend)
             return
-        # snapshot the live device params (the next step donates them);
-        # the worker thread pays the device->host transfer + write
-        snap = ckpt.snapshot(self.trainable)
+        # transfer on the MAIN thread (the next step's donation of these
+        # buffers is not dispatched yet, so the values are stable); only
+        # the host-side serialization + write runs in the worker thread
+        host_t = jax.device_get(self.trainable)
         frozen = {"embedding": self._host_embedding[: self._vocab_rows]}
         backend = self.config.checkpoint_backend
         self._saver.submit(
-            lambda: ckpt.save_best(model_path,
-                                   merge_params(jax.device_get(snap), frozen),
+            lambda: ckpt.save_best(model_path, merge_params(host_t, frozen),
                                    backend))
 
     def _save_last(self, model_path, **meta):
@@ -232,12 +232,10 @@ class Trainer:
             ckpt.save_last(model_path, self.trainable, self.opt_state,
                            backend=self.config.checkpoint_backend, **meta)
             return
-        snap = ckpt.snapshot({"t": self.trainable, "o": self.opt_state})
+        host = jax.device_get({"t": self.trainable, "o": self.opt_state})
         backend = self.config.checkpoint_backend
         self._saver.submit(
-            lambda: ckpt.save_last(model_path,
-                                   *(lambda s: (s["t"], s["o"]))(
-                                       jax.device_get(snap)),
+            lambda: ckpt.save_last(model_path, host["t"], host["o"],
                                    backend=backend, **meta))
 
     def _loader(self, dataset, shuffle=False, seed=0, start_batch=0):
@@ -424,12 +422,20 @@ class Trainer:
                                make_eval_step_resident(self.dims), mt, me)
         return self._res_steps
 
-    def _index_stream(self, n, seed, start_batch, shuffle=True):
+    def _index_stream(self, n, seed, start_batch, shuffle=True,
+                      pad_final_chunk=False):
         """The resident-mode twin of BatchLoader + chunk_stream: yields
         ("rchunk", (idxs (k,B) int32, n_reals (k,))) for full chunks and
         ("rsingle", (idx (B,), n_real)) for remainders, over exactly the
         batch order the streaming loader would produce (same RNG, same
-        start_batch fast-forward, same dead-padding row 0)."""
+        start_batch fast-forward, same dead-padding row 0).
+
+        pad_final_chunk (EVAL ONLY): pad the remainder batches into one
+        final chunk with n_real=0 rows instead of yielding them as
+        singles.  All-dead batches contribute (sq=0, n=0) to the MSE --
+        exact -- and the remainder stops paying one dispatch latency per
+        batch.  Train must NOT use this: a dead batch inside the scan
+        would still apply the weight-decay part of the update."""
         B, k = self.config.batch_size, self.k_dispatch
         order = np.arange(n)
         if shuffle:
@@ -447,6 +453,13 @@ class Trainer:
                        (np.stack([r for r, _ in buf]),
                         np.asarray([nr for _, nr in buf], np.int32)))
                 buf = []
+        if pad_final_chunk and k > 1 and len(buf) > 1:
+            dead = (np.zeros(B, np.int32), 0)
+            buf += [dead] * (k - len(buf))
+            yield ("rchunk",
+                   (np.stack([r for r, _ in buf]),
+                    np.asarray([nr for _, nr in buf], np.int32)))
+            return
         for rows, n_real in buf:
             yield ("rsingle", (rows, np.int32(n_real)))
 
@@ -457,7 +470,8 @@ class Trainer:
         n_batches = (len(dataset) + self.config.batch_size - 1) \
             // self.config.batch_size
         for kind, payload in self._progress(
-                self._index_stream(len(dataset), 0, 0, shuffle=False),
+                self._index_stream(len(dataset), 0, 0, shuffle=False,
+                                   pad_final_chunk=True),
                 "Evaluate", None if self.k_dispatch > 1 else n_batches):
             if kind == "rchunk":
                 idxs, n_reals = payload
@@ -585,11 +599,21 @@ class Trainer:
                 point, then COMPACT the list to the single summed pair:
                 unbounded growth would both re-reduce O(n^2) scalars over
                 the epoch and compile a fresh stack shape at every logging
-                point (~12.5k dispatches per Yelp-8M epoch; ADVICE r4 #3)."""
+                point (~12.5k dispatches per Yelp-8M epoch; ADVICE r4 #3).
+                The stack is zero-padded to a power-of-two bucket so only
+                ~log(n) distinct shapes ever compile: the relay serializes
+                compiles at ~0.5-1 s each, and an exact-length stack was
+                measured costing ~1.1 s at EVERY eval point of a fresh run
+                (round-5 protocol-wall chase, BENCH_DETAILS.md)."""
                 if not total_parts:
                     return 0.0, 0.0
-                ls = jnp.sum(jnp.stack([p[0] for p in total_parts]))
-                ns = jnp.sum(jnp.stack([p[1] for p in total_parts]))
+                m = 1
+                while m < len(total_parts):
+                    m *= 2
+                zero = np.float32(0.0)
+                pad = [zero] * (m - len(total_parts))
+                ls = jnp.sum(jnp.stack([p[0] for p in total_parts] + pad))
+                ns = jnp.sum(jnp.stack([p[1] for p in total_parts] + pad))
                 total_parts[:] = [(ls, ns)]
                 return float(ls), float(ns)
 
