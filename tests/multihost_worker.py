@@ -75,6 +75,54 @@ def run_steps(n_steps=3, global_batch=16, shard_embedding=False):
             "n_devices": jax.device_count()}
 
 
+def run_trainer(device_dataset, work_dir, tag, photos=False):
+    """Trainer-level fit under `--device_dataset` mode: returns an exact
+    digest (per-leaf sums) of the final trainable params.  Multi-host
+    resident mode replicates the packed arrays per process and ships
+    per-process row blocks of the global index matrices; its digest must
+    EQUAL the streaming path's (same jitted math on the same rows)."""
+    import os
+
+    import jax
+    import numpy as np
+    from umpr_tpu.config import Config
+    from umpr_tpu.train.trainer import Trainer
+    from umpr_tpu.utils.logging import get_logger
+    from umpr_tpu.parallel import multihost
+    from tests.test_device_dataset import packed_dataset, _W2v, _photo_dataset
+
+    argv = ["--device", "cpu", "--multi_gpu", "True",
+            "--batch_size", "8", "--train_epochs", "2", "--eval_every", "2",
+            "--steps_per_dispatch", "2", "--learning_rate", "0.01",
+            "--min_sent_count", "1", "--seed", "2",
+            "--device_dataset", device_dataset]
+    if photos:
+        argv += ["--review_net_only", "False", "--photo_size", "32",
+                 "--views", "['unknown']", "--photo_count", "1",
+                 "--train_epochs", "1"]
+    else:
+        argv += ["--review_net_only", "True"]
+    cfg = Config(argv=argv)
+    if photos:
+        pdir = os.path.join(work_dir, "photos")
+        if multihost.is_primary():
+            os.makedirs(pdir, exist_ok=True)
+            import pathlib
+            _photo_dataset(2, pathlib.Path(pdir), seed=3)  # write the JPEGs once
+        multihost.barrier(f"photos-ready-{tag}")
+        import pathlib
+        train = _photo_dataset(16, pathlib.Path(pdir), seed=3)
+        valid = _photo_dataset(8, pathlib.Path(pdir), seed=4)
+    else:
+        train, valid = packed_dataset(48), packed_dataset(16)
+    t = Trainer(cfg, get_logger(logger_name=f"mh-{tag}"), _W2v())
+    t.fit(train, valid, os.path.join(work_dir, f"model_{tag}"))
+    if device_dataset == "on":
+        assert t._resident, "resident mode must engage multi-host now"
+    return [float(np.sum(np.asarray(x)))
+            for x in jax.tree.leaves(jax.tree.map(np.asarray, t.trainable))]
+
+
 def main():
     process_id, num_processes, port, out = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
@@ -100,6 +148,18 @@ def main():
     # the cross-process tensor-parallel layout: vocab rows sharded over a
     # mesh axis that spans both processes
     result["tp_losses"] = run_steps(shard_embedding=True)["losses"]
+    # trainer-level resident-corpus mode across processes: replicated
+    # packed arrays + per-process index-row blocks must train identically
+    # to the streaming per-process row-slice path (and, with photos, the
+    # primary-decoded broadcast bank must match streaming local decodes)
+    import os
+    shared = os.path.dirname(os.path.abspath(out))
+    result["trainer_resident"] = run_trainer("on", shared, "res")
+    result["trainer_streaming"] = run_trainer("off", shared, "str")
+    result["trainer_resident_photos"] = run_trainer(
+        "on", shared, "resp", photos=True)
+    result["trainer_streaming_photos"] = run_trainer(
+        "off", shared, "strp", photos=True)
     result["process_id"] = jax.process_index()
     result["local_devices"] = jax.local_device_count()
     result["stamp"] = stamp

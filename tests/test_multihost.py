@@ -46,7 +46,9 @@ def test_two_process_training_matches_single_process(tmp_path):
     outs = [str(tmp_path / f"proc{i}.json") for i in range(2)]
     procs = [_spawn(i, 2, port, outs[i]) for i in range(2)]
     for p in procs:
-        _, err = p.communicate(timeout=540)
+        # generous: the workers now also run 4 trainer-level fits (incl.
+        # two small VGG compiles) on a 1-vCPU CI host
+        _, err = p.communicate(timeout=2400)
         assert p.returncode == 0, err.decode()[-3000:]
 
     results = [json.load(open(o)) for o in outs]
@@ -73,6 +75,19 @@ def test_two_process_training_matches_single_process(tmp_path):
                                rtol=2e-5, atol=1e-6)
     np.testing.assert_array_equal(results[0]["tp_losses"],
                                   results[1]["tp_losses"])
+
+    # trainer-level resident-corpus mode across processes: EXACT digest
+    # equality with the streaming path (same jitted math on the same
+    # rows; replicated packed arrays + per-process index-row blocks),
+    # for both the text-only and the photo-bank (broadcast) configs
+    np.testing.assert_array_equal(results[0]["trainer_resident"],
+                                  results[0]["trainer_streaming"])
+    np.testing.assert_array_equal(results[0]["trainer_resident"],
+                                  results[1]["trainer_resident"])
+    np.testing.assert_array_equal(results[0]["trainer_resident_photos"],
+                                  results[0]["trainer_streaming_photos"])
+    np.testing.assert_array_equal(results[0]["trainer_resident_photos"],
+                                  results[1]["trainer_resident_photos"])
 
 
 def test_local_rows_partition():

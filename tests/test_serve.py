@@ -211,3 +211,65 @@ def test_http_pipeline_overlaps_build_and_predict(tmp_path, monkeypatch):
             f"(serial would be ~{serial:.1f}s, pipelined ~{pipelined:.1f}s)")
     finally:
         server.shutdown()
+
+
+def test_resident_photo_bank_matches_streaming(tmp_path):
+    """The serving resident photo bank (decode-once HBM bank + (B, V, P)
+    bank-row dispatch) must reproduce the streaming loader's predictions
+    -- including '' photos, decode failures, dead padding -- across
+    repeated requests (second request reuses + grows the bank) and under
+    chunked dispatch.  The input BYTES are identical by construction;
+    the gather-then-normalize graph fuses differently than the
+    photos-as-input graph, so equality is to f32 rounding (last-ulp),
+    not bit-exact."""
+    from tests.test_device_dataset import _photo_dataset
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((200, 12)).astype(np.float32)
+
+    def mk(device_dataset, k=1):
+        cfg = Config(argv=[
+            "--device", "cpu", "--review_net_only", "False",
+            "--photo_size", "32", "--views", "['unknown']",
+            "--photo_count", "1", "--batch_size", "8",
+            "--steps_per_dispatch", str(k),
+            "--device_dataset", device_dataset])
+        dims = ModelDims.from_config(cfg)
+        params = init_umpr(jax.random.PRNGKey(2), dims, emb)
+        root = str(tmp_path / f"m_{device_dataset}_{k}")
+        ckpt.save_best(root, params)
+        return Predictor(cfg, FakeW2v(emb), root)
+
+    ds1 = _photo_dataset(12, tmp_path, seed=3)
+    ds2 = _photo_dataset(7, tmp_path, seed=9)
+
+    stream = mk("off")
+    bank = mk("on")
+    assert bank._bank_enabled
+    p1s, _ = stream.predict_dataset(ds1)
+    p1b, _ = bank.predict_dataset(ds1)
+    np.testing.assert_allclose(p1s, p1b, rtol=1e-5, atol=1e-7)
+    n_rows_after_1 = len(bank._bank_rows)
+    assert n_rows_after_1 > 1  # decoded something into the bank
+
+    # second request: reuses cached rows, grows with ds2's unseen photos
+    p2s, _ = stream.predict_dataset(ds2)
+    p2b, _ = bank.predict_dataset(ds2)
+    np.testing.assert_allclose(p2s, p2b, rtol=1e-5, atol=1e-7)
+
+    # chunked dispatch path (k > 1) through the bank
+    bank_k = mk("on", k=2)
+    p1bk, _ = bank_k.predict_dataset(ds1)
+    np.testing.assert_allclose(p1s, p1bk, rtol=1e-5, atol=1e-7)
+
+    # overflow: a tiny cap falls back to streaming with identical output
+    import umpr_tpu.serve as serve_mod
+    tiny = mk("off")  # fresh predictor, then force-enable with a tiny cap
+    tiny._bank_enabled = True
+    tiny._bank_rows = {"": 0}
+    import jax.numpy as jnp
+    tiny._bank_dev = jnp.zeros((1, 32, 32, 3), jnp.uint8)
+    tiny.config.device_dataset_mb = 0
+    pt, _ = tiny.predict_dataset(ds1)
+    assert not tiny._bank_enabled  # overflowed -> disabled
+    np.testing.assert_array_equal(p1s, pt)

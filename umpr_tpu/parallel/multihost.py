@@ -128,6 +128,29 @@ def broadcast_pytree(tree):
     return multihost_utils.broadcast_one_to_all(host)
 
 
+def put_replicated(tree, sharding):
+    """numpy pytree -> globally-REPLICATED device arrays under `sharding`
+    (which must be a fully-replicated spec).  Single-process: plain
+    ``device_put``.  Multi-process: every process passes identical
+    content (deterministic builds guarantee it for packed dataset
+    arrays; anything host-dependent -- e.g. a decoded photo bank --
+    must be broadcast from the primary first) and each provides the
+    full array as its local data."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def put(v):
+        # make_array_from_process_local_data rejects fully-replicated
+        # shardings (empty host-local shard map); assemble explicitly
+        # from one full copy per addressable device instead
+        v = np.ascontiguousarray(v)
+        bufs = [jax.device_put(v, d) for d in sharding.addressable_devices]
+        return jax.make_array_from_single_device_arrays(
+            v.shape, sharding, bufs)
+
+    return jax.tree.map(put, tree)
+
+
 def put_global(batch, sharding, batch_axis=0):
     """Host numpy batch dict -> global device arrays under `sharding`.
 

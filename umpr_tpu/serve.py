@@ -92,6 +92,20 @@ class Predictor:
             return pred
 
         self._predict = _predict
+
+        def _with_bank_photos(bank, b):
+            b = dict(b)
+            b["photos"] = bank[b.pop("photo_idx")]
+            return b
+
+        @jax.jit
+        def _predict_bank(params, bank, batch):
+            pred, _, _ = umpr_forward(params,
+                                      _full_pad(_with_bank_photos(bank, batch)),
+                                      dims, train=False)
+            return pred
+
+        self._predict_bank = _predict_bank
         # --steps_per_dispatch k > 1: k batches per device call via an
         # on-device scan.  Serving is dispatch-bound on remote-attached
         # TPUs exactly like training (see train/step.make_multi_eval_step);
@@ -109,9 +123,45 @@ class Predictor:
                 return preds  # (k, B)
 
             self._predict_k = _predict_k
+
+            @jax.jit
+            def _predict_bank_k(params, bank, batches):
+                def body(_, b):
+                    pred, _, _ = umpr_forward(
+                        params, _full_pad(_with_bank_photos(bank, b)), dims,
+                        train=False)
+                    return None, pred
+
+                _, preds = jax.lax.scan(body, None, batches)
+                return preds  # (k, B)
+
+            self._predict_bank_k = _predict_bank_k
             from jax.sharding import NamedSharding, PartitionSpec as P
             # stacked chunks are (k, B, ...): batch axis is axis 1
             self._dp_stacked = NamedSharding(self.mesh, P(None, "dp"))
+
+        # Resident photo bank (--device_dataset != off, photo configs):
+        # every distinct photo is decoded ONCE across the Predictor's
+        # lifetime and lives in HBM as a (C, H, W, 3) uint8 bank; requests
+        # then ship (B, V, P) int32 bank rows instead of decoded pixel
+        # tensors.  Repeated-item scoring (the common serving pattern:
+        # items recur across requests) stops paying both the host JPEG
+        # decode (beyond the LRU cache) and the per-request photo upload
+        # -- the wire cost drops from ~B*V*P*H*W*3 bytes to ~B*V*P*4.
+        # Row 0 is zeros ('' paths, decode failures, dead samples), the
+        # same bytes the streaming loader ships (predictions equal to f32
+        # rounding -- the gather fuses with the normalize differently
+        # than the photos-as-input graph: tests/test_serve.py).  Growth
+        # is capped by --device_dataset_mb;
+        # overflow logs once and falls back to streaming photos.
+        self._bank_enabled = (not config.review_net_only
+                              and getattr(config, "device_dataset", "off")
+                              != "off")
+        if self._bank_enabled:
+            H = config.photo_size
+            self._bank_rows = {"": 0}
+            self._bank_dev = jax.device_put(
+                np.zeros((1, H, H, 3), np.uint8), self.rep)
 
     def _chunk_stream(self, loader):
         """(device_payload, [host sample masks], chunked?) triples — the
@@ -133,27 +183,97 @@ class Predictor:
         """-> (predictions (N,), source_rows (N,)) over retained samples."""
         return self._predict_packed(dataset), np.asarray(dataset.source_rows)
 
+    def _bank_idx(self, dataset):
+        """Grow the resident photo bank with the dataset's unseen photos
+        (decoded once, via the same machinery the streaming loader uses)
+        and return its (n, V, P) int32 bank rows -- or None when the bank
+        is disabled / has overflowed --device_dataset_mb (streaming
+        fallback; logged once)."""
+        if not self._bank_enabled:
+            return None
+        cfg = self.config
+        new = [p for p in np.unique(dataset.photo_paths.ravel())
+               if p not in self._bank_rows]
+        if new:
+            total = len(self._bank_rows) + len(new)
+            if total * cfg.photo_size * cfg.photo_size * 3 > \
+                    (cfg.device_dataset_mb << 20):
+                print(f"serve: resident photo bank would exceed "
+                      f"device_dataset_mb={cfg.device_dataset_mb} at "
+                      f"{total} photos; streaming photos from here on.")
+                self._bank_enabled = False
+                return None
+            from umpr_tpu.data.images import load_photo_batch
+            imgs = load_photo_batch(
+                np.asarray(new, dtype=np.str_).reshape(-1, 1, 1),
+                (cfg.photo_size, cfg.photo_size), None,
+                self._photo_cache)[:, 0, 0]
+            logical = len(self._bank_rows)
+            for p in new:
+                self._bank_rows[p] = len(self._bank_rows)
+            # power-of-two CAPACITY (zero rows past the logical end): the
+            # bank's shape is baked into the predict jit, so per-request
+            # exact growth would recompile on every new photo; capacity
+            # doubling bounds that at ~log2(n) compiles
+            need = logical + len(new)
+            cap = self._bank_dev.shape[0]
+            while cap < need:
+                cap *= 2
+            parts = [self._bank_dev[:logical],
+                     jax.device_put(imgs, self.rep)]
+            if cap > need:
+                parts.append(jnp.zeros(
+                    (cap - need,) + imgs.shape[1:], jnp.uint8))
+            self._bank_dev = jnp.concatenate(parts)
+        lut = self._bank_rows
+        flat = dataset.photo_paths.ravel()
+        return np.fromiter((lut[p] for p in flat), np.int32,
+                           len(flat)).reshape(dataset.photo_paths.shape)
+
     def _predict_packed(self, dataset):
         """Predictions (N,) over a packed dataset's retained samples, in
         dataset order.  Shared by the per-request path and the coalescer
         (which concatenates several requests' datasets into one)."""
         cfg = self.config
+        pidx = self._bank_idx(dataset)
+        use_bank = pidx is not None
         loader = BatchLoader(dataset, cfg.batch_size,
-                             ignore_photos=cfg.review_net_only,
+                             ignore_photos=cfg.review_net_only or use_bank,
                              resize=(cfg.photo_size, cfg.photo_size),
                              workers=cfg.data_workers,
                              photo_cache=self._photo_cache)
+
+        def with_idx(it):
+            # sequential loader order: batch i covers dataset rows
+            # [off, off + n_real); dead-padded rows gather bank row 0,
+            # the zeros the streaming loader ships for dead samples
+            off = 0
+            for b in it:
+                B = b["sample_mask"].shape[0]
+                n_real = int(b["sample_mask"].sum())
+                rows = np.zeros((B,) + pidx.shape[1:], np.int32)
+                rows[:n_real] = pidx[off:off + n_real]
+                off += n_real
+                yield dict(b, photo_idx=rows)
+
+        it = with_idx(iter(loader)) if use_bank else iter(loader)
         outs = []  # (device preds, [host masks]); readbacks deferred past
         #            the last dispatch so nothing blocks the device queue
         if self._k > 1:
-            for dev, masks, chunked in self._chunk_stream(loader):
-                fn = self._predict_k if chunked else self._predict
-                outs.append((fn(self.params, dev), masks))
+            for dev, masks, chunked in self._chunk_stream(it):
+                fn = ((self._predict_bank_k if chunked else self._predict_bank)
+                      if use_bank else
+                      (self._predict_k if chunked else self._predict))
+                args = (self.params, self._bank_dev, dev) if use_bank \
+                    else (self.params, dev)
+                outs.append((fn(*args), masks))
         else:
-            for batch in prefetch_to_device(iter(loader), self.dp,
+            for batch in prefetch_to_device(it, self.dp,
                                             depth=cfg.prefetch_depth):
                 mask = np.asarray(batch["sample_mask"]) > 0
-                outs.append((self._predict(self.params, batch), [mask]))
+                pred = (self._predict_bank(self.params, self._bank_dev, batch)
+                        if use_bank else self._predict(self.params, batch))
+                outs.append((pred, [mask]))
         preds = []
         for dev, masks in outs:
             arr = np.asarray(dev)

@@ -310,8 +310,6 @@ class Trainer:
         if mode == "off":
             return False
         reasons = []
-        if jax.process_count() > 1:
-            reasons.append("multi-host runs feed per-process row slices")
         if max(1, getattr(cfg, "grad_accum_steps", 1)) > 1:
             reasons.append("grad_accum_steps uses the streaming micro-batch "
                            "step")
@@ -365,30 +363,46 @@ class Trainer:
             self._dev_data_cache = {}
         key = id(dataset)
         if key not in self._dev_data_cache:
-            arrs = {f: jax.device_put(
+            # multi-host: every process holds the same packed arrays
+            # (deterministic builds) and provides the full array as its
+            # local replica shard -- resident dispatch then works exactly
+            # as on a single-host multi-device mesh
+            arrs = {f: multihost.put_replicated(
                         np.ascontiguousarray(getattr(dataset, f)), self.rep)
                     for f in RESIDENT_FIELDS}
             if getattr(self, "_bank_uniq", None) is not None:
                 arrs["photo_bank"] = self._photo_bank_dev()
                 pidx = np.searchsorted(
                     self._bank_uniq, dataset.photo_paths).astype(np.int32)
-                arrs["photo_idx"] = jax.device_put(pidx, self.rep)
+                arrs["photo_idx"] = multihost.put_replicated(pidx, self.rep)
             self._dev_data_cache[key] = (dataset, arrs)
         return self._dev_data_cache[key][1]
 
     def _photo_bank_dev(self):
         """Decode every distinct photo once (same decode + zero-fill
         machinery the streaming loader uses, so failures and '' rows are
-        byte-identical) and upload the (C, H, W, 3) uint8 bank."""
+        byte-identical) and upload the (C, H, W, 3) uint8 bank.
+
+        Multi-host: only the PRIMARY decodes and the bank is broadcast --
+        decoded bytes must agree exactly across processes for a
+        replicated array, and non-primary hosts may not even have the
+        photo files (the streaming path only ever decodes local rows)."""
         if getattr(self, "_bank_dev", None) is None:
-            from umpr_tpu.data.images import load_photo_batch
             cfg = self.config
-            uniq = self._bank_uniq
-            imgs = load_photo_batch(uniq.reshape(-1, 1, 1),
-                                    (cfg.photo_size, cfg.photo_size),
-                                    self._loader_executor(),
-                                    getattr(self, "_photo_cache", None))
-            self._bank_dev = jax.device_put(imgs[:, 0, 0], self.rep)
+            if multihost.is_primary():
+                from umpr_tpu.data.images import load_photo_batch
+                uniq = self._bank_uniq
+                imgs = load_photo_batch(uniq.reshape(-1, 1, 1),
+                                        (cfg.photo_size, cfg.photo_size),
+                                        self._loader_executor(),
+                                        getattr(self, "_photo_cache", None))
+                imgs = imgs[:, 0, 0]
+            else:
+                imgs = np.zeros((self._bank_uniq.size, cfg.photo_size,
+                                 cfg.photo_size, 3), np.uint8)
+            if jax.process_count() > 1:
+                imgs = np.asarray(multihost.broadcast_pytree(imgs))
+            self._bank_dev = multihost.put_replicated(imgs, self.rep)
         return self._bank_dev
 
     def _loader_executor(self):
@@ -405,12 +419,19 @@ class Trainer:
         axis (rows of idx == rows of the gathered batch), so GSPMD
         partitions the on-device gather and the batch lands in exactly
         the dp-sharded layout the streaming put_global path produces.
-        The resident data arrays themselves are replicated (self.rep)."""
-        if self._n_dev == 1:
+        The resident data arrays themselves are replicated (self.rep).
+        Multi-host: each process provides its local row block of the
+        (identical, deterministic) global index matrix -- the only
+        per-step cross-host agreement resident mode needs."""
+        if self._n_dev == 1 and jax.process_count() == 1:
             return arr
         from jax.sharding import NamedSharding, PartitionSpec as P
         spec = P(None, "dp") if stacked else P("dp")
-        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+        sharding = NamedSharding(self.mesh, spec)
+        if jax.process_count() == 1:
+            return jax.device_put(arr, sharding)
+        return multihost.put_global({"i": arr}, sharding,
+                                    batch_axis=1 if stacked else 0)["i"]
 
     def _resident_steps(self):
         if not hasattr(self, "_res_steps"):
