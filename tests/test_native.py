@@ -163,3 +163,36 @@ def test_native_histories_match_python(tmp_path):
     np.testing.assert_array_equal(ip[0][keep_n], it_)
     np.testing.assert_array_equal(ip[1][keep_n], il)
     np.testing.assert_array_equal(ip[2][keep_n], ic)
+
+
+def test_unicode_routing_and_parity():
+    """Round-5 UTF-8 path: SAFE non-ASCII (accents, curly quotes, emoji,
+    CJK) flows through the C++ byte tokenizer -- including non-ASCII
+    VOCAB words matched by UTF-8 byte equality -- while RISKY chars
+    (unicode whitespace, unicode digits) still route that document to
+    the python path.  Everything stays byte-exact vs python."""
+    from umpr_tpu.native import _encode_corpus, fast_tokenize_reviews
+
+    words = list(WORDS) + ["café", "naïve", "你好", "’s"]
+    w2v = FakeW2v(words)
+    docs = [
+        "café naïve sound quality loved album extra",       # safe accents
+        "’s curly “quote” sound quality loved album extra",  # safe punct
+        "你好 世界 sound quality loved album extra mix",      # safe CJK
+        "emoji \U0001f60a doc sound quality loved album",    # safe emoji
+        "nbsp separated sound quality loved album extra",   # RISKY \s
+        "ideographic　space sound quality loved album extra",  # RISKY \s
+        "arabic ٣٤ digits sound quality loved album",   # RISKY \d
+        "superscript ² sound quality loved album extra",     # RISKY isdigit
+        "plain ascii sound quality loved album extra",
+    ]
+    _, _, _, mask = _encode_corpus(docs)
+    assert mask.tolist() == [True, True, True, True,
+                             False, False, False, False, True]
+    fast = fast_tokenize_reviews(docs, w2v, 20, True)
+    if fast is None:
+        pytest.skip("native tokenizer unavailable")
+    assert normalize(fast) == python_tokenize(docs, w2v, 20, True)
+    # non-ASCII vocab hits resolve through the native path (not UNK)
+    cafe_id = w2v.word2index["café"]
+    assert int(fast[0][0][0]) == cafe_id

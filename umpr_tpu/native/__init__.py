@@ -3,10 +3,15 @@
 `fast_tokenize_reviews` accelerates the dataset-construction hot spot
 (reference src/dataset.py:21-27: python tokenize + dict lookup over every
 review); the C++ core is ~8x faster than the python loop, ~2.5x end to end
-including wrapper glue (which now dominates; see tests/test_native.py).  Semantics are byte-exact with the
-python path for ASCII documents; any document containing a non-ASCII byte
-is routed through the python path, so unicode str.split()/isdigit()
-subtleties never diverge (see tokenizer.cpp header).
+including wrapper glue (which now dominates; see tests/test_native.py).
+Semantics are byte-exact with the python path: the C++ tokenizer consumes
+UTF-8 bytes directly (ASCII separators and '.' never occur inside a UTF-8
+multibyte sequence, and vocab lookups compare UTF-8 bytes == str
+equality); only documents containing a RISKY non-ASCII char -- unicode
+whitespace or unicode digits, where python str.split()/str.isdigit()
+semantics diverge from bytes -- are routed through the python path (see
+_risky / tokenizer.cpp header; the share was measured on seeded corpora,
+NOTES.md round 5).
 
 The shared library builds on demand with g++ -O3 (cached beside the
 source); every entry point falls back to pure python if the toolchain or
@@ -141,10 +146,34 @@ def _vocab_for(word2vec, _vocab_cache={}):
     return entry[1]
 
 
+_char_risky_cache = {}
+
+
+def _risky(ch):
+    """True when python tokenization treats this non-ASCII char specially:
+    str.split() splits on unicode whitespace and str.isdigit() accepts
+    unicode digits (incl. e.g. Eastern Arabic digits and superscripts).
+    Everything else -- accented letters, curly quotes, emoji, CJK -- is an
+    opaque run of UTF-8 bytes to both tokenizers: '.' (0x2E) and ASCII
+    whitespace bytes never occur inside a UTF-8 multibyte sequence, and
+    vocab lookups compare UTF-8 bytes, which equals str equality."""
+    r = _char_risky_cache.get(ch)
+    if r is None:
+        r = _char_risky_cache.setdefault(ch, ch.isspace() or ch.isdigit())
+    return r
+
+
 def _encode_corpus(docs):
-    """-> (buf bytes, offsets int64 [n+1], total, ascii_mask bool[n]);
-    non-ASCII docs are encoded as empty (the caller python-tokenizes them)."""
-    ascii_mask = np.ones(len(docs), bool)
+    """-> (buf bytes, offsets int64 [n+1], total, native_mask bool[n]).
+
+    Docs encode as UTF-8 for the byte-level C++ tokenizer.  Only docs
+    containing a RISKY non-ASCII char (see _risky: unicode whitespace /
+    unicode digits, where python semantics diverge from bytes) are
+    encoded as empty and routed to the python path by the caller.
+    Through round 4 ANY non-ASCII byte fell back, which degraded the
+    native-path share to ~84% at a realistic 15% contamination rate and
+    to 0% on fully-unicode corpora (measured; NOTES.md round 5)."""
+    native_mask = np.ones(len(docs), bool)
     try:
         # fast path: the whole corpus is ASCII -> one encode, offsets from
         # char lengths (== byte lengths for ASCII)
@@ -157,17 +186,19 @@ def _encode_corpus(docs):
         buf_parts, offs = [], [0]
         total = 0
         for i, d in enumerate(docs):
-            try:
+            if d.isascii():
                 b = d.encode("ascii")
-            except UnicodeEncodeError:
-                ascii_mask[i] = False
+            elif any(_risky(ch) for ch in set(d) if ord(ch) > 127):
+                native_mask[i] = False
                 b = b""
+            else:
+                b = d.encode("utf-8")
             buf_parts.append(b)
             total += len(b)
             offs.append(total)
         buf = b"".join(buf_parts)
         offsets = np.asarray(offs, np.int64)
-    return buf, offsets, total, ascii_mask
+    return buf, offsets, total, native_mask
 
 
 def _python_sentences(doc, word2vec, max_len, sentence_level, keep_gt):
@@ -196,7 +227,7 @@ def fast_tokenize_reviews(reviews, word2vec, max_len, sentence_level,
     nv = _vocab_for(word2vec)
 
     docs = [str(x) for x in reviews]
-    buf, offsets, total, ascii_mask = _encode_corpus(docs)
+    buf, offsets, total, native_mask = _encode_corpus(docs)
 
     cap_ids = max(total + 16, 1024)  # <= one id per byte
     cap_sents = max(total // 2 + len(docs) + 16, 1024)
@@ -211,7 +242,7 @@ def fast_tokenize_reviews(reviews, word2vec, max_len, sentence_level,
         return None
 
     flat = None
-    if return_flat and bool(ascii_mask.all()):
+    if return_flat and bool(native_mask.all()):
         doc_sent_start = np.zeros(len(docs) + 1, np.int64)
         np.cumsum(doc_counts, out=doc_sent_start[1:])
         flat = (out_ids[:int(sent_starts[n_sents])],
@@ -222,8 +253,9 @@ def fast_tokenize_reviews(reviews, word2vec, max_len, sentence_level,
     results = []
     si = 0
     for i, cnt in enumerate(doc_counts):
-        if not ascii_mask[i]:
-            # unicode document: exact python path
+        if not native_mask[i]:
+            # risky-unicode document (unicode whitespace/digits): exact
+            # python path
             results.append(_python_sentences(docs[i], word2vec, max_len,
                                              sentence_level, keep_gt))
             si += cnt  # native output for this doc (empty) is skipped
@@ -254,7 +286,7 @@ def tokenize_flat(reviews, word2vec, max_len, sentence_level, keep_gt=5):
 
     docs = [str(x) for x in reviews]
     n_docs = len(docs)
-    buf, offsets, total, ascii_mask = _encode_corpus(docs)
+    buf, offsets, total, native_mask = _encode_corpus(docs)
 
     cap_ids = max(total + 16, 1024)
     cap_sents = max(total // 2 + n_docs + 16, 1024)
@@ -273,7 +305,7 @@ def tokenize_flat(reviews, word2vec, max_len, sentence_level, keep_gt=5):
     sent_lens = np.diff(sent_starts[:n_sents + 1])
     del out_ids, sent_starts
 
-    if not ascii_mask.all():
+    if not native_mask.all():
         # splice python-tokenized unicode docs into the flat stream at
         # their doc positions (native output has 0 sentences for them)
         nat_doc_start = np.zeros(n_docs + 1, np.int64)
@@ -282,7 +314,7 @@ def tokenize_flat(reviews, word2vec, max_len, sentence_level, keep_gt=5):
         np.cumsum(sent_lens, out=nat_sent_start[1:])
         id_parts, len_parts = [], []
         prev_sent = 0
-        for i in np.flatnonzero(~ascii_mask):
+        for i in np.flatnonzero(~native_mask):
             sents = _python_sentences(docs[i], word2vec, max_len,
                                       sentence_level, keep_gt)
             doc_counts[i] = len(sents)

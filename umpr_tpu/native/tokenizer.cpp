@@ -3,14 +3,18 @@
 // every review; minutes-scale on the 8M-review Yelp corpus).
 //
 // Exact semantics contract (enforced by tests/test_native.py against the
-// python path): for a pure-ASCII document,
+// python path): for a document in UTF-8 bytes,
 //   parts = doc.strip('. ').split('.')        (sentence level)  |  [doc]
 //   tokens = part.replace('.', ' ').strip().split()   (ASCII whitespace)
 //   id = 2 if token is all ASCII digits else vocab.get(token, 1)
 //   sentence kept iff len(ids[:max_len]) > keep_gt (5 in the reference)
-// Documents containing any non-ASCII byte are routed through the python
-// path by the wrapper, so unicode isdigit()/split() subtleties never reach
-// this code.
+// UTF-8 is safe at byte level: '.' (0x2E) and the ASCII whitespace bytes
+// never occur inside a multibyte sequence, all_digits rejects any byte
+// outside '0'..'9', and vocab keys are UTF-8 bytes (byte equality ==
+// str equality).  The wrapper routes to the python path only documents
+// containing a RISKY non-ASCII char -- unicode whitespace (str.split()
+// splits there) or unicode digits (str.isdigit() accepts them) -- so
+// those two python-semantics divergences never reach this code.
 //
 // Build: g++ -O3 -shared -fPIC (see umpr_tpu/native/__init__.py); plain C
 // ABI + ctypes, no pybind11.
