@@ -106,13 +106,20 @@ class Config:
                              # Trainer.fit wall on relay/network-attached
                              # hosts (measured: ~9 of 16.8 ms/step,
                              # BENCH_DETAILS.md "Through-trainer").  'auto'
-                             # engages for single-process runs whose packed
-                             # arrays (plus, for photo configs, a
-                             # distinct-photo uint8 bank) fit
-                             # device_dataset_mb; on multi-device meshes the
-                             # arrays replicate and the index matrices shard
-                             # over dp.  Bit-exact vs streaming, 1-dev and
-                             # 8-dev (CI: tests/test_device_dataset.py).
+                             # engages when the packed arrays (plus, for
+                             # photo configs, a distinct-photo uint8 bank)
+                             # fit device_dataset_mb; on multi-device meshes
+                             # the arrays replicate and the index matrices
+                             # shard over dp, and under multi-host each
+                             # process holds a full replica and ships its
+                             # local index-row block (the photo bank is
+                             # decoded on the primary and broadcast).
+                             # grad_accum_steps is the one remaining
+                             # exclusion (streaming micro-batch step).
+                             # Bit-exact vs streaming: 1-dev, 8-dev, and
+                             # 2-real-process (tests/test_device_dataset.py,
+                             # tests/test_multihost.py).  Serving reuses the
+                             # photo-bank idea per request (serve.py).
     device_dataset_mb = 4096  # 'auto' size gate for the resident corpus (the
                               # Music-small packed arrays are ~230 MB; Yelp-8M
                               # ~29 GB streams regardless).
