@@ -95,8 +95,12 @@ while written < n:
 
 for f in files:
     f.close()
-# empty photos manifest: review-only configs don't use photos, and the
-# dataset builder only needs the file to exist
+# photos manifest (JSON-lines records, the preprocessor's format): one
+# entry per item so the reference's has-photos retain filter keeps every
+# sample (amazon 'unknown'-view semantics); the files don't exist --
+# review-only configs never decode, photo configs would zero-fill
 with open(os.path.join(args.out, "photos.json"), "w") as f:
-    f.write('{"business_id": {}, "photo_id": {}, "label": {}}')
+    for k in range(args.items):
+        f.write('{"business_id":"I%d","photo_id":"p%d",'
+                '"imUrl":"http://x/%d.jpg"}\n' % (k, k, k))
 print("done:", args.out)
