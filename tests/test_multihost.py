@@ -35,9 +35,17 @@ def _spawn(pid, n, port, out):
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["PYTHONPATH"] = REPO
     env.pop("JAX_PLATFORMS", None)
-    return subprocess.Popen(
+    # output to FILES, not pipes: communicate() drains one process at a
+    # time, and a worker whose 64 KB pipe fills BLOCKS mid-collective --
+    # the other worker then waits on it forever (observed as a 40-min
+    # deadlock once the round-5 trainer-level fits pushed worker output
+    # past the pipe capacity)
+    log = open(out + ".log", "w")
+    proc = subprocess.Popen(
         [sys.executable, WORKER, str(pid), str(n), str(port), out],
-        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        env=env, cwd=REPO, stdout=log, stderr=subprocess.STDOUT)
+    proc._logfile = log  # noqa: SLF001 (kept open until the test reads it)
+    return proc
 
 
 @pytest.mark.slow
@@ -45,11 +53,14 @@ def test_two_process_training_matches_single_process(tmp_path):
     port = _free_port()
     outs = [str(tmp_path / f"proc{i}.json") for i in range(2)]
     procs = [_spawn(i, 2, port, outs[i]) for i in range(2)]
-    for p in procs:
+    for i, p in enumerate(procs):
         # generous: the workers now also run 4 trainer-level fits (incl.
         # two small VGG compiles) on a 1-vCPU CI host
-        _, err = p.communicate(timeout=2400)
-        assert p.returncode == 0, err.decode()[-3000:]
+        p.wait(timeout=2400)
+        p._logfile.close()
+        if p.returncode != 0:
+            with open(outs[i] + ".log") as f:
+                raise AssertionError(f.read()[-3000:])
 
     results = [json.load(open(o)) for o in outs]
     for r in results:
