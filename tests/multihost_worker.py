@@ -104,15 +104,17 @@ def run_trainer(device_dataset, work_dir, tag, photos=False):
         argv += ["--review_net_only", "True"]
     cfg = Config(argv=argv)
     if photos:
-        pdir = os.path.join(work_dir, "photos")
+        import pathlib
+        pdir = pathlib.Path(work_dir) / "photos"
         if multihost.is_primary():
             os.makedirs(pdir, exist_ok=True)
-            import pathlib
-            _photo_dataset(2, pathlib.Path(pdir), seed=3)  # write the JPEGs once
+            _photo_dataset(2, pdir, seed=3)  # write the JPEGs ONCE, primary only
         multihost.barrier(f"photos-ready-{tag}")
-        import pathlib
-        train = _photo_dataset(16, pathlib.Path(pdir), seed=3)
-        valid = _photo_dataset(8, pathlib.Path(pdir), seed=4)
+        # write_photos=False on every build past the barrier: a rewrite here
+        # would race the peer's decode (it may already be inside fit) and
+        # flake the resident-vs-streaming digest assertion
+        train = _photo_dataset(16, pdir, seed=3, write_photos=False)
+        valid = _photo_dataset(8, pdir, seed=4, write_photos=False)
     else:
         train, valid = packed_dataset(48), packed_dataset(16)
     t = Trainer(cfg, get_logger(logger_name=f"mh-{tag}"), _W2v())

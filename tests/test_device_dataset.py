@@ -165,19 +165,24 @@ def test_resident_fit_multi_device_matches_streaming(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
-def _photo_dataset(n, photo_dir, seed=0, V=1, P=1):
+def _photo_dataset(n, photo_dir, seed=0, V=1, P=1, write_photos=True):
     """Packed dataset whose samples reference real (tiny) JPEGs, plus one
     missing path and some '' padding -- the decode-failure/zero-fill
-    parity cases."""
-    import cv2
+    parity cases.
 
+    write_photos=False builds only the path table (the JPEG bytes then come
+    from whoever wrote them last).  Multi-process callers MUST use it: the
+    files are shared, and a peer rewriting p0..p3.jpg (O_TRUNC) while this
+    process decodes them races truncated/stale bytes into the photo bank."""
     rng = np.random.default_rng(seed)
     ds = packed_dataset(n, seed=seed)
     paths = np.full((n, V, P), "", dtype="<U128")
     files = []
     for j in range(4):
         p = str(photo_dir / f"p{j}.jpg")
-        cv2.imwrite(p, rng.integers(0, 255, (40, 50, 3)).astype(np.uint8))
+        if write_photos:
+            import cv2
+            cv2.imwrite(p, rng.integers(0, 255, (40, 50, 3)).astype(np.uint8))
         files.append(p)
     for i in range(n):
         if i % 5 == 4:
@@ -294,3 +299,38 @@ def test_second_fit_rebuilds_photo_bank(tmp_path):
     for a, b in zip(jax.tree.leaves(results["off"]),
                     jax.tree.leaves(results["on"])):
         np.testing.assert_array_equal(a, b)
+
+
+def test_all_dead_batch_eval_finite_without_jit():
+    """An ALL-dead gathered batch (the pad_final_chunk eval path) carries
+    NaN predictions -- zeroed counts NaN the masked softmax -- and its
+    (sq, n) contribution must still be exactly (0, 0).  Run both jitted
+    and eagerly: the old `mask * err**2` form only survived because XLA's
+    bool-mul rewrite dropped the 0 * NaN under jit; eager mode (and any
+    backend without the rewrite) got NaN, which poisoned the split MSE and
+    made save-best never fire (best > nan is always False)."""
+    import jax
+    import jax.numpy as jnp
+
+    from umpr_tpu.train.step import gather_batch, make_eval_step_resident
+
+    ds = packed_dataset(12, seed=0)
+    t = _mk_trainer(None, "on", k=2, epochs=1)
+    data = t._device_data(ds)
+    eval1 = make_eval_step_resident(t.dims)
+    idx = jnp.zeros(t.config.batch_size, jnp.int32)
+
+    sq, n = eval1(t.trainable, t.frozen, data, idx, jnp.int32(0))
+    assert float(n) == 0.0 and float(sq) == 0.0
+
+    with jax.disable_jit():
+        batch = gather_batch(data, idx, jnp.int32(0))
+        # the hazard is real: dead rows DO predict NaN eagerly
+        from umpr_tpu.models.umpr import umpr_forward
+        pred, _, _ = umpr_forward(
+            jax.tree.map(jnp.asarray, {**t.trainable, **t.frozen}),
+            batch, t.dims, train=False)
+        assert np.isnan(np.asarray(pred)).all()
+        sq_e, n_e = eval1(t.trainable, t.frozen, data, idx, jnp.int32(0))
+        assert float(n_e) == 0.0 and float(sq_e) == 0.0, \
+            "eager all-dead batch must contribute (0, 0), not NaN"

@@ -273,3 +273,49 @@ def test_resident_photo_bank_matches_streaming(tmp_path):
     pt, _ = tiny.predict_dataset(ds1)
     assert not tiny._bank_enabled  # overflowed -> disabled
     np.testing.assert_array_equal(p1s, pt)
+
+
+def test_resident_photo_bank_budgets_capacity_not_count(tmp_path):
+    """The HBM budget must gate on the bank's ALLOCATED capacity (next
+    power of two), not the logical photo count: at photo_size 32 a 1 MB
+    budget fits 341 logical rows, but 301 photos allocate a 512-row
+    (1.5 MB) bank -- the old count-based check passed and then blew the
+    cap on exactly the devices the flag protects."""
+    from tests.test_device_dataset import packed_dataset
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((200, 12)).astype(np.float32)
+    cfg = Config(argv=[
+        "--device", "cpu", "--review_net_only", "False",
+        "--photo_size", "32", "--views", "['unknown']",
+        "--photo_count", "1", "--batch_size", "8",
+        "--device_dataset", "on"])
+    dims = ModelDims.from_config(cfg)
+    params = init_umpr(jax.random.PRNGKey(2), dims, emb)
+    root = str(tmp_path / "m_cap")
+    ckpt.save_best(root, params)
+    pred = Predictor(cfg, FakeW2v(emb), root)
+    assert pred._bank_enabled
+
+    n = 301  # logical 302 rows (incl. '') -> capacity 512
+    ds = packed_dataset(n, seed=0)
+    ds = ds.__class__(**{f: getattr(ds, f) for f in (
+        "u_tokens", "u_lengths", "u_counts", "i_tokens", "i_lengths",
+        "i_counts", "ui_tokens", "ui_lengths", "ui_counts", "ratings")},
+        photo_paths=np.array(
+            [str(tmp_path / f"ph{i}.jpg") for i in range(n)],
+            dtype="<U128").reshape(n, 1, 1))
+
+    # 1 MB budget: 302 logical rows fit (906 KB) but the 512-row capacity
+    # (1.5 MB) does not -> must fall back BEFORE decoding anything
+    pred.config.device_dataset_mb = 1
+    assert pred._bank_idx(ds) is None
+    assert not pred._bank_enabled
+
+    # 2 MB budget: the 512-row capacity fits -> bank proceeds (missing
+    # files decode to zero-fill, the streaming-parity bytes)
+    pred2 = Predictor(cfg, FakeW2v(emb), root)
+    pred2.config.device_dataset_mb = 2
+    idx = pred2._bank_idx(ds)
+    assert idx is not None and pred2._bank_enabled
+    assert pred2._bank_dev.shape[0] == 512

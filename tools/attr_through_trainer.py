@@ -99,7 +99,10 @@ def main():
         r = fold(base, i)
     jax.block_until_ready(r)
     d_ms = (time.perf_counter() - t0) / n_chunks / args.k * 1e3
-    print(f"D rng fold dispatch           : {d_ms:6.2f} ms/step", flush=True)
+    print(f"D rng fold dispatch           : {d_ms:6.2f} ms/step "
+          f"(HISTORICAL: round 5 moved the fold in-graph -- multi_step "
+          f"derives keys from (base_rng, start) -- so the real fit no "
+          f"longer pays this dispatch)", flush=True)
 
     # E: the full real loop (same code path bench.py records).  Stages
     # A-D time the STREAMING pipeline's costs, so the residue must use
@@ -120,8 +123,11 @@ def main():
           f"({e['streaming_samples_per_sec']:.0f} samples/s)", flush=True)
     print(f"   device-loop reference       : see bench.py chunked "
           f"(~{64 / 26000 * 1e3:.2f} ms/step)")
-    print(f"   unattributed residue E-C-D-dev: "
-          f"{e_ms - c_ms - d_ms - 64 / 26000 * 1e3:6.2f} ms/step")
+    # residue excludes D: the chunk-rng fold runs in-graph since round 5
+    # (step.py make_multi_train_step), so the streaming fit wall never
+    # pays that dispatch and subtracting it would understate the residue
+    print(f"   unattributed residue E-C-dev: "
+          f"{e_ms - c_ms - 64 / 26000 * 1e3:6.2f} ms/step")
 
 
 if __name__ == "__main__":

@@ -23,7 +23,8 @@ ap.add_argument("--users", type=int, default=400000)
 ap.add_argument("--items", type=int, default=80000)
 ap.add_argument("--vocab", type=int, default=40000)
 ap.add_argument("--seed", type=int, default=0)
-ap.add_argument("--write_glove", action="store_true", default=True)
+ap.add_argument("--write_glove", action=argparse.BooleanOptionalAction,
+                default=True)  # --no-write_glove skips the embedding dump
 args = ap.parse_args()
 
 rng = np.random.default_rng(args.seed)

@@ -192,14 +192,29 @@ def umpr_forward(params, batch, dims: ModelDims, train=False, dropout_rng=None):
     prediction = jax.nn.relu(linear(params["linear_fusion"], fused))[:, 0]
     prediction = prediction.astype(jnp.float32)
     loss_r = _masked_mse(prediction, labels, mask)
-    # Cross-batch (V, B) @ (B, V) visual loss; dead samples zeroed via prefer.
-    m = mask[:, None]
+    # Cross-batch (V, B) @ (B, V) visual loss; dead samples zeroed on BOTH
+    # operands with a select, not a multiply: dead rows carry NaN matching
+    # scores (their zeroed review counts NaN the control-net softmax), and a
+    # 0 * NaN product inside the dot accumulation is NaN by IEEE rules --
+    # only XLA's bool-mul rewrite makes the multiply form work under jit.
+    alive = mask[:, None] > 0
     prefer_pos, prefer_neg, pos_match, neg_match = (
-        x.astype(jnp.float32) for x in (prefer_pos, prefer_neg, pos_match, neg_match))
-    loss_v = jnp.mean((prefer_pos * m).T @ pos_match + (prefer_neg * m).T @ neg_match)
+        jnp.where(alive, x.astype(jnp.float32), 0.0)
+        for x in (prefer_pos, prefer_neg, pos_match, neg_match))
+    loss_v = jnp.mean(prefer_pos.T @ pos_match + prefer_neg.T @ neg_match)
     loss = loss_r + dims.loss_v_rate * loss_v
     return prediction, loss, {"loss_r": loss_r, "loss_v": loss_v}
 
 
+def masked_sq_sum(pred, labels, mask):
+    """Sum of squared errors over real samples.  Dead rows (mask 0) carry
+    NaN predictions — their counts are zeroed so the review masked-softmax
+    is 0/0 — so the dead branch must be dropped with a select, not a
+    multiply: 0 * NaN is NaN unless XLA's mul(convert(bool),x) rewrite
+    happens to fire (it does under jit today, but eager/disable_jit and
+    future backends get the IEEE answer)."""
+    return jnp.sum(jnp.where(mask > 0, (pred - labels) ** 2, 0.0))
+
+
 def _masked_mse(pred, labels, mask):
-    return jnp.sum(mask * (pred - labels) ** 2) / jnp.maximum(jnp.sum(mask), 1.0)
+    return masked_sq_sum(pred, labels, mask) / jnp.maximum(jnp.sum(mask), 1.0)

@@ -196,11 +196,22 @@ class Predictor:
                if p not in self._bank_rows]
         if new:
             total = len(self._bank_rows) + len(new)
-            if total * cfg.photo_size * cfg.photo_size * 3 > \
+            # Budget the ALLOCATED capacity (the next power of two), not the
+            # logical count: the bank is allocated at capacity, so gating on
+            # `total` would let a doubling blow past the cap by up to 2x on
+            # exactly the HBM-tight devices the flag protects.  (During a
+            # growth step the old bank and the new concatenate coexist, so
+            # the transient peak is still <= 1.5x the budget; steady state
+            # is <= the budget.)
+            cap_after = self._bank_dev.shape[0]
+            while cap_after < total:
+                cap_after *= 2
+            if cap_after * cfg.photo_size * cfg.photo_size * 3 > \
                     (cfg.device_dataset_mb << 20):
-                print(f"serve: resident photo bank would exceed "
-                      f"device_dataset_mb={cfg.device_dataset_mb} at "
-                      f"{total} photos; streaming photos from here on.")
+                print(f"serve: resident photo bank capacity {cap_after} rows "
+                      f"would exceed device_dataset_mb="
+                      f"{cfg.device_dataset_mb} at {total} photos; "
+                      f"streaming photos from here on.")
                 self._bank_enabled = False
                 return None
             from umpr_tpu.data.images import load_photo_batch

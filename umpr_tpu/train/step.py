@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from umpr_tpu.models.umpr import umpr_forward
+from umpr_tpu.models.umpr import masked_sq_sum, umpr_forward
 from umpr_tpu.train.optim import merge_params
 
 
@@ -115,7 +115,7 @@ def make_train_step_accum(dims, k, tx, donate=True):
         pred, _, aux = umpr_forward(params, batch, dims, train=True,
                                     dropout_rng=dropout_rng)
         mask = batch["sample_mask"]
-        sq = jnp.sum(mask * (pred - batch["ratings"]) ** 2)
+        sq = masked_sq_sum(pred, batch["ratings"], mask)
         loss = sq / n_total
         # per-micro aux terms that SUM to the single-step aux values:
         # loss_r micro-terms are sq/n_total (full-batch denominator), loss_v
@@ -273,7 +273,7 @@ def make_eval_step_resident(dims):
         params = merge_params(trainable, frozen)
         pred, _, _ = umpr_forward(params, batch, dims, train=False)
         mask = batch["sample_mask"]
-        sq_err = jnp.sum(mask * (pred - batch["ratings"]) ** 2)
+        sq_err = masked_sq_sum(pred, batch["ratings"], mask)
         return sq_err, jnp.sum(mask)
 
     return jax.jit(eval_step)
@@ -292,7 +292,7 @@ def make_multi_eval_step_resident(dims):
             batch = gather_batch(data, idx, n_real)
             pred, _, _ = umpr_forward(params, batch, dims, train=False)
             mask = batch["sample_mask"]
-            return None, (jnp.sum(mask * (pred - batch["ratings"]) ** 2),
+            return None, (masked_sq_sum(pred, batch["ratings"], mask),
                           jnp.sum(mask))
 
         _, (sqs, ns) = jax.lax.scan(body, None, (idxs, n_reals))
@@ -306,7 +306,7 @@ def make_eval_step(dims):
         params = merge_params(trainable, frozen)
         pred, _, _ = umpr_forward(params, batch, dims, train=False)
         mask = batch["sample_mask"]
-        sq_err = jnp.sum(mask * (pred - batch["ratings"]) ** 2)
+        sq_err = masked_sq_sum(pred, batch["ratings"], mask)
         return sq_err, jnp.sum(mask)
 
     return jax.jit(eval_step)
@@ -330,7 +330,7 @@ def make_multi_eval_step(dims):
         def body(_, batch):
             pred, _, _ = umpr_forward(params, batch, dims, train=False)
             mask = batch["sample_mask"]
-            return None, (jnp.sum(mask * (pred - batch["ratings"]) ** 2),
+            return None, (masked_sq_sum(pred, batch["ratings"], mask),
                           jnp.sum(mask))
 
         _, (sqs, ns) = jax.lax.scan(body, None, batches)
